@@ -1,0 +1,195 @@
+"""FITS codec round-trip and format-compatibility tests.
+
+The reference ships no FITS I/O tests; these go beyond it (SURVEY.md section 4
+implication). Golden-format checks assert the exact 2880-byte block layout the
+reference emits (write.go:54-89)."""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+from nightlight_tpu.image import Image
+from nightlight_tpu.io import fits as nlfits
+
+
+def make_image(w=32, h=16, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.uniform(0, 1000, size=(h, w)).astype(np.float32)
+    img = Image.from_naxisn([w, h], data)
+    img.exposure = 300.0
+    return img
+
+
+def roundtrip(img):
+    buf = io.BytesIO()
+    nlfits.write(img, buf)
+    buf.seek(0)
+    out = Image(id=img.id)
+    nlfits.read(out, buf, to_device=False)
+    return out, buf.getvalue()
+
+
+class TestWriteFormat:
+    def test_block_alignment(self):
+        img = make_image()
+        _, raw = roundtrip(img)
+        assert len(raw) % 2880 == 0
+
+    def test_header_layout(self):
+        img = make_image()
+        _, raw = roundtrip(img)
+        # First line must be the 80-char SIMPLE record.
+        line0 = raw[0:80].decode("ascii")
+        assert line0.startswith("SIMPLE  =")
+        assert line0[10:30].strip() == "T"
+        assert len(line0) == 80
+        line1 = raw[80:160].decode("ascii")
+        assert line1.startswith("BITPIX  =")
+        assert line1[10:30].strip() == "-32"
+
+    def test_nan_replaced_with_zero(self):
+        img = make_image(8, 8)
+        d = np.asarray(img.data).copy()
+        d[3, 4] = np.nan
+        img.set_data(d)
+        out, _ = roundtrip(img)
+        assert out.to_numpy()[3, 4] == 0.0
+        assert np.isfinite(out.to_numpy()).all()
+
+
+class TestRoundTrip:
+    def test_float32_payload(self):
+        img = make_image()
+        out, _ = roundtrip(img)
+        assert out.naxisn == [32, 16]
+        assert out.bitpix == -32
+        np.testing.assert_array_equal(out.to_numpy(), img.to_numpy())
+
+    def test_exposure_roundtrip(self):
+        img = make_image()
+        out, _ = roundtrip(img)
+        assert out.exposure == 300.0
+
+    def test_inline_stats_match(self):
+        img = make_image()
+        out, _ = roundtrip(img)
+        d = img.to_numpy()
+        assert out.stats.min == pytest.approx(float(d.min()), rel=1e-6)
+        assert out.stats.max == pytest.approx(float(d.max()), rel=1e-6)
+        assert out.stats.mean == pytest.approx(float(d.mean()), rel=1e-5)
+
+    def test_gzip_roundtrip(self, tmp_path):
+        img = make_image()
+        fn = str(tmp_path / "test.fits.gz")
+        nlfits.write_file(img, fn)
+        with open(fn, "rb") as f:
+            assert f.read(2) == b"\x1f\x8b"  # gzip magic
+        out = nlfits.read_file(fn, to_device=False)
+        np.testing.assert_array_equal(out.to_numpy(), img.to_numpy())
+
+
+class TestBitpixDecode:
+    """Payload decode for all BITPIX variants (read.go:176-443)."""
+
+    def _encode_fits(self, arr_be_bytes, bitpix, w, h, bzero=0.0, bscale=1.0):
+        lines = [
+            f"{'SIMPLE':<8}= {'T':>20} / {'':<47}",
+            f"{'BITPIX':<8}= {bitpix:>20} / {'':<47}",
+            f"{'NAXIS':<8}= {2:>20} / {'':<47}",
+            f"{'NAXIS1':<8}= {w:>20} / {'':<47}",
+            f"{'NAXIS2':<8}= {h:>20} / {'':<47}",
+            f"{'BZERO':<8}= {bzero:>20g} / {'':<47}",
+            f"{'BSCALE':<8}= {bscale:>20g} / {'':<47}",
+            "END" + " " * 77,
+        ]
+        header = "".join(lines)
+        header += " " * (2880 - len(header) % 2880)
+        payload = arr_be_bytes
+        if len(payload) % 2880:
+            payload += b"\x00" * (2880 - len(payload) % 2880)
+        return header.encode("ascii") + payload
+
+    @pytest.mark.parametrize(
+        "bitpix,dtype",
+        [(8, ">u1"), (16, ">i2"), (32, ">i4"), (64, ">i8"), (-32, ">f4"), (-64, ">f8")],
+    )
+    def test_decode(self, bitpix, dtype):
+        rng = np.random.default_rng(1)
+        w, h = 10, 6
+        if bitpix > 0:
+            vals = rng.integers(-100 if bitpix > 8 else 0, 100, size=(h, w))
+            arr = vals.astype(dtype)
+            expected = vals.astype(np.float32)
+        else:
+            vals = rng.uniform(-5, 5, size=(h, w))
+            arr = vals.astype(dtype)
+            expected = arr.astype(np.float32)
+        raw = self._encode_fits(arr.tobytes(), bitpix, w, h)
+        img = Image()
+        nlfits.read(img, io.BytesIO(raw), to_device=False, log=io.StringIO())
+        np.testing.assert_allclose(img.to_numpy(), expected, rtol=1e-6)
+
+    def test_bzero_bscale_fold_in(self):
+        rng = np.random.default_rng(2)
+        w, h = 8, 4
+        vals = rng.integers(-(2**15), 2**15, size=(h, w))
+        arr = vals.astype(">i2")
+        raw = self._encode_fits(arr.tobytes(), 16, w, h, bzero=32768.0, bscale=1.0)
+        img = Image()
+        nlfits.read(img, io.BytesIO(raw), to_device=False)
+        expected = vals.astype(np.float32) + 32768.0
+        np.testing.assert_allclose(img.to_numpy(), expected, rtol=1e-6)
+        # bzero/bscale are folded into the data after reading (read.go:205).
+        assert img.bzero == 0.0 and img.bscale == 1.0
+
+    def test_exptime_fallback(self):
+        arr = np.zeros((4, 4), dtype=">f4")
+        raw = self._encode_fits(arr.tobytes(), -32, 4, 4)
+        # splice an EXPTIME record before END
+        raw = bytearray(raw)
+        end_pos = raw.find(b"END ")
+        exptime = f"{'EXPTIME':<8}= {120.5:>20g} / {'':<47}".encode("ascii")
+        raw[end_pos:end_pos] = exptime
+        # re-pad header block
+        img = Image()
+        hdr_plus = bytes(raw[: raw.find(b"END ") + 80])
+        # rebuild properly: simpler to construct via helper with EXPTIME line
+        lines = [
+            f"{'SIMPLE':<8}= {'T':>20} / {'':<47}",
+            f"{'BITPIX':<8}= {-32:>20} / {'':<47}",
+            f"{'NAXIS':<8}= {2:>20} / {'':<47}",
+            f"{'NAXIS1':<8}= {4:>20} / {'':<47}",
+            f"{'NAXIS2':<8}= {4:>20} / {'':<47}",
+            f"{'EXPTIME':<8}= {120.5:>20g} / {'':<47}",
+            "END" + " " * 77,
+        ]
+        header = "".join(lines)
+        header += " " * (2880 - len(header) % 2880)
+        payload = arr.tobytes()
+        payload += b"\x00" * (2880 - len(payload) % 2880)
+        nlfits.read(img, io.BytesIO(header.encode() + payload), to_device=False)
+        assert img.exposure == pytest.approx(120.5)
+
+
+class TestHeaderParse:
+    def test_string_and_comment_lines(self):
+        lines = [
+            f"{'SIMPLE':<8}= {'T':>20} / {'':<47}",
+            f"{'BITPIX':<8}= {8:>20} / {'':<47}",
+            f"{'NAXIS':<8}= {1:>20} / {'':<47}",
+            f"{'NAXIS1':<8}= {4:>20} / {'':<47}",
+            f"{'OBJECT':<8}= 'M42               ' / {'':<47}",
+            "COMMENT  A test comment" + " " * 57,
+            "HISTORY  Something happened" + " " * 53,
+            "END" + " " * 77,
+        ]
+        header = "".join(f"{l:<80}" for l in lines)
+        header += " " * (2880 - len(header) % 2880)
+        payload = b"\x01\x02\x03\x04" + b"\x00" * (2880 - 4)
+        img = Image()
+        nlfits.read(img, io.BytesIO(header.encode() + payload), to_device=False)
+        assert img.header.strings["OBJECT"] == "M42               "
+        assert any("test comment" in c for c in img.header.comments)
+        assert any("Something happened" in h for h in img.header.history)
