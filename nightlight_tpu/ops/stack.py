@@ -1,0 +1,476 @@
+"""Stacking engine: median / mean / sigma-clip / winsorized / MAD-sigma /
+linear-fit stacking with NaN-as-missing semantics and optional per-frame
+weights.
+
+TPU-native rebuild of the reference's per-pixel stacking loops
+(reference: internal/ops/stack/stack.go:274-918). The reference gathers each
+pixel's values across frames and runs quickselect + iterative clipping per
+pixel on the CPU. Here the whole (frames x pixels) block is processed as one
+vectorized program:
+
+* The frame axis is sorted ONCE per pixel (NaNs pushed to the end as +inf).
+  Sigma clipping only ever removes values outside an interval, so the active
+  set per pixel remains a CONTIGUOUS RANGE [lo, hi) of the sorted order; the
+  clip iteration then reduces to index arithmetic over precomputed prefix
+  sums -- no per-iteration re-sort, no data movement.
+* Values are centered per pixel before building prefix sums so float32
+  sum-of-squares stays accurate.
+* The per-pixel "repeat until stable" loops become one lax.while_loop over
+  the whole block with per-pixel running masks; iteration count is bounded
+  by the frame count.
+
+Semantics match stack.go exactly where it matters:
+* median of an even count averages the two middle values (qsort.go:68-82)
+* clip bounds are median +/- sigma * stddev-about-the-MEAN (stack.go:404-409)
+* the stacked value for a pixel is the MEAN computed at the top of its final
+  clip iteration (stack.go:427-430)
+* pixels with zero valid samples get RefFrameLoc (stack.go:288-297)
+* winsorized stddev: replace outliers at median +/- 1.5 sigma, recompute
+  stddev * 1.134, iterate until change <= 0.05% (stack.go:646-672)
+* linear fit regresses value against sorted rank, rejects by mean absolute
+  residual, and returns the fitted mean (stack.go:832-918)
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+class StackMode(IntEnum):
+    """Stacking modes (stack.go:33-42)."""
+
+    Median = 0
+    Mean = 1
+    Sigma = 2
+    WinsorSigma = 3
+    MADSigma = 4
+    LinearFit = 5
+    Auto = 6
+
+
+class StackWeighting(IntEnum):
+    """Weighting modes (stack.go:57-63)."""
+
+    NoWeight = 0
+    Exposure = 1
+    InverseNoise = 2
+    InverseHFR = 3
+
+
+def auto_select_mode(num_frames: int) -> StackMode:
+    """Frame-count based auto mode selection (stack.go:45-55)."""
+    if num_frames >= 25:
+        return StackMode.LinearFit
+    if num_frames >= 15:
+        return StackMode.WinsorSigma
+    if num_frames >= 6:
+        return StackMode.Sigma
+    return StackMode.Mean
+
+
+_BIG = jnp.float32(3.0e38)
+
+
+def _prepare(frames: jax.Array, weights):
+    """Sort the frame axis ascending with NaNs pushed to the end.
+
+    Returns (sorted centered values, permuted weights or None, valid counts,
+    per-pixel center). frames: (N, P).
+    """
+    n = frames.shape[0]
+    valid = jnp.isfinite(frames)
+    cnt = jnp.sum(valid, axis=0)
+    filled = jnp.where(valid, frames, _BIG)
+    if weights is None:
+        svals = jnp.sort(filled, axis=0)
+        sw = None
+    else:
+        order = jnp.argsort(filled, axis=0)
+        svals = jnp.take_along_axis(filled, order, axis=0)
+        sw = weights[order]
+    # Center values for numerically stable prefix sums of squares.
+    center = jnp.where(cnt > 0, jnp.sum(jnp.where(valid, frames, 0.0), axis=0) / jnp.maximum(cnt, 1), 0.0)
+    idx = jnp.arange(n)[:, None]
+    svals = jnp.where(idx < cnt[None, :], svals - center[None, :], 0.0)
+    return svals, sw, cnt, center
+
+
+def _prefix(svals: jax.Array):
+    """Inclusive->exclusive prefix sums with leading zero row: S[k] = sum of
+    the first k sorted values. Shapes: (N+1, P)."""
+    zero = jnp.zeros((1,) + svals.shape[1:], svals.dtype)
+    s1 = jnp.concatenate([zero, jnp.cumsum(svals, axis=0)], axis=0)
+    s2 = jnp.concatenate([zero, jnp.cumsum(svals * svals, axis=0)], axis=0)
+    return s1, s2
+
+
+def _take(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """arr[(idx, pixel), pixel] gather along axis 0."""
+    return jnp.take_along_axis(arr, idx[None, :], axis=0)[0]
+
+
+def _median_range(svals: jax.Array, lo: jax.Array, cnt: jax.Array) -> jax.Array:
+    """Median of svals[lo:lo+cnt] per pixel (QSelect semantics)."""
+    cnt1 = jnp.maximum(cnt, 1)
+    upper = _take(svals, lo + cnt1 // 2)
+    lower = _take(svals, lo + jnp.maximum(cnt1 // 2 - 1, 0))
+    return jnp.where(cnt1 % 2 == 1, upper, 0.5 * (lower + upper))
+
+
+def _count_range(svals: jax.Array, lo: jax.Array, hi: jax.Array, pred) -> jax.Array:
+    """Count of values in sorted range [lo, hi) satisfying pred(v)."""
+    n = svals.shape[0]
+    idx = jnp.arange(n)[:, None]
+    in_range = (idx >= lo[None, :]) & (idx < hi[None, :])
+    return jnp.sum(in_range & pred(svals), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Simple modes
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def stack_median(frames: jax.Array, ref_frame_loc: float) -> jax.Array:
+    """NaN-skipping median (stack.go:274-303)."""
+    valid = jnp.isfinite(frames)
+    cnt = jnp.sum(valid, axis=0)
+    svals = jnp.sort(jnp.where(valid, frames, _BIG), axis=0)
+    med = _median_range(svals, jnp.zeros_like(cnt), cnt)
+    return jnp.where(cnt == 0, ref_frame_loc, med)
+
+
+@jax.jit
+def stack_mean(frames: jax.Array, ref_frame_loc: float) -> jax.Array:
+    """NaN-skipping mean (stack.go:307-333)."""
+    valid = jnp.isfinite(frames)
+    cnt = jnp.sum(valid, axis=0)
+    s = jnp.sum(jnp.where(valid, frames, 0.0), axis=0)
+    return jnp.where(cnt == 0, ref_frame_loc, s / jnp.maximum(cnt, 1))
+
+
+@jax.jit
+def stack_mean_weighted(frames: jax.Array, weights: jax.Array, ref_frame_loc: float) -> jax.Array:
+    """NaN-skipping weighted mean (stack.go:337-366)."""
+    valid = jnp.isfinite(frames)
+    w = jnp.where(valid, weights[:, None], 0.0)
+    ws = jnp.sum(w, axis=0)
+    s = jnp.sum(jnp.where(valid, frames, 0.0) * weights[:, None], axis=0)
+    return jnp.where(ws == 0, ref_frame_loc, s / jnp.where(ws == 0, 1.0, ws))
+
+
+# ---------------------------------------------------------------------------
+# Sigma-clip family (shared contiguous-range iteration)
+# ---------------------------------------------------------------------------
+
+
+def _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, winsorize: bool):
+    """Shared core of StackSigma(Weighted) and StackWinsorSigma(Weighted)."""
+    n = frames.shape[0]
+    svals, sw, cnt0, center = _prepare(frames, weights)
+    s1, s2 = _prefix(svals)
+    if sw is not None:
+        zero = jnp.zeros((1,) + svals.shape[1:], svals.dtype)
+        w1 = jnp.concatenate([zero, jnp.cumsum(sw, axis=0)], axis=0)
+        wv1 = jnp.concatenate([zero, jnp.cumsum(sw * svals, axis=0)], axis=0)
+
+    p = frames.shape[1]
+    lo0 = jnp.zeros(p, jnp.int32)
+    hi0 = cnt0.astype(jnp.int32)
+    running0 = cnt0 > 0
+    result0 = jnp.full(p, jnp.float32(ref_frame_loc))
+
+    def mean_range(lo, hi):
+        c = jnp.maximum(hi - lo, 1)
+        return (_take(s1, hi) - _take(s1, lo)) / c
+
+    def std_range(lo, hi):
+        c = jnp.maximum(hi - lo, 1)
+        m = mean_range(lo, hi)
+        var = (_take(s2, hi) - _take(s2, lo)) / c - m * m
+        return jnp.sqrt(jnp.maximum(var, 0.0))
+
+    def winsor_std(lo, hi, median):
+        """Iteratively winsorized stddev (stack.go:646-672), computed on the
+        sorted range via clamped-sum index arithmetic."""
+        c = jnp.maximum(hi - lo, 1)
+        std0 = std_range(lo, hi)
+
+        def body(state):
+            std, _, it = state
+            wlo = median - 1.5 * std
+            whi = median + 1.5 * std
+            # index of first value >= wlo and first value > whi within range
+            below = _count_range(svals, lo, hi, lambda v: v < wlo)
+            above = _count_range(svals, lo, hi, lambda v: v > whi)
+            a = lo + below
+            b = hi - above
+            mid_sum = _take(s1, b) - _take(s1, a)
+            mid_sq = _take(s2, b) - _take(s2, a)
+            wsum = mid_sum + below * wlo + above * whi
+            wsq = mid_sq + below * wlo * wlo + above * whi * whi
+            m = wsum / c
+            var = wsq / c - m * m
+            new_std = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
+            changed = below + above
+            factor = jnp.abs(new_std - std) / jnp.maximum(std, 1e-30)
+            done = jnp.logical_or(changed == 0, factor <= 0.0005)
+            return new_std, done, it + 1
+
+        def cond(state):
+            _, done, it = state
+            return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < 32)
+
+        std, _, _ = jax.lax.while_loop(cond, body, (std0, jnp.zeros_like(std0, bool), 0))
+        return std
+
+    def body(state):
+        lo, hi, running, result, clip_lo, clip_hi, it = state
+        c = hi - lo
+        median = _median_range(svals, lo, c)
+        mean = mean_range(lo, hi)
+        std = std_range(lo, hi)
+        if winsorize:
+            std = winsor_std(lo, hi, median)
+        low_bound = median - sigma_low * std
+        high_bound = median + sigma_high * std
+
+        below = _count_range(svals, lo, hi, lambda v: v < low_bound)
+        above = _count_range(svals, lo, hi, lambda v: v > high_bound)
+        below = jnp.where(running, below, 0)
+        above = jnp.where(running, above, 0)
+        new_lo = lo + below
+        new_hi = hi - above
+        new_cnt = new_hi - new_lo
+
+        stop = running & ((below + above == 0) | (new_cnt <= 1))
+        if sw is None:
+            final_val = mean
+        else:
+            wsum = _take(w1, new_hi) - _take(w1, new_lo)
+            wvsum = _take(wv1, new_hi) - _take(wv1, new_lo)
+            final_val = wvsum / jnp.maximum(wsum, 1e-30)
+        result = jnp.where(stop, final_val, result)
+
+        clip_lo = clip_lo + jnp.sum(below)
+        clip_hi = clip_hi + jnp.sum(above)
+        return new_lo, new_hi, running & ~stop, result, clip_lo, clip_hi, it + 1
+
+    def cond(state):
+        _, _, running, _, _, _, it = state
+        return jnp.logical_and(jnp.any(running), it < n + 1)
+
+    state = (lo0, hi0, running0, result0, jnp.int32(0), jnp.int32(0), 0)
+    _, _, _, result, clip_lo, clip_hi, _ = jax.lax.while_loop(cond, body, state)
+    result = jnp.where(cnt0 > 0, result + center, jnp.float32(ref_frame_loc))
+    return result, clip_lo, clip_hi
+
+
+@partial(jax.jit, static_argnames=())
+def stack_sigma(frames, ref_frame_loc, sigma_low, sigma_high):
+    """Iterative sigma-clipped mean (stack.go:372-436)."""
+    return _sigma_clip_core(frames, None, ref_frame_loc, sigma_low, sigma_high, False)
+
+
+@partial(jax.jit, static_argnames=())
+def stack_sigma_weighted(frames, weights, ref_frame_loc, sigma_low, sigma_high):
+    """Weighted sigma-clipped mean (stack.go:442-531)."""
+    return _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, False)
+
+
+@partial(jax.jit, static_argnames=())
+def stack_winsor_sigma(frames, ref_frame_loc, sigma_low, sigma_high):
+    """Winsorized sigma-clipped mean (stack.go:611-705)."""
+    return _sigma_clip_core(frames, None, ref_frame_loc, sigma_low, sigma_high, True)
+
+
+@partial(jax.jit, static_argnames=())
+def stack_winsor_sigma_weighted(frames, weights, ref_frame_loc, sigma_low, sigma_high):
+    """Weighted winsorized sigma-clipped mean (stack.go:710-829)."""
+    return _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, True)
+
+
+@jax.jit
+def stack_mad_sigma(frames, ref_frame_loc, sigma_low, sigma_high):
+    """Single-pass MAD-sigma clipped mean (stack.go:536-605)."""
+    valid = jnp.isfinite(frames)
+    cnt = jnp.sum(valid, axis=0)
+    svals = jnp.sort(jnp.where(valid, frames, _BIG), axis=0)
+    n = frames.shape[0]
+    idx = jnp.arange(n)[:, None]
+    in_cnt = idx < cnt[None, :]
+    median = _median_range(svals, jnp.zeros_like(cnt), cnt)
+
+    absdev = jnp.where(in_cnt, jnp.abs(svals - median[None, :]), _BIG)
+    sdev = jnp.sort(absdev, axis=0)
+    mad = _median_range(sdev, jnp.zeros_like(cnt), cnt)
+    std = mad * 1.4826
+
+    lo_b = median - sigma_low * std
+    hi_b = median + sigma_high * std
+    keep = in_cnt & (svals >= lo_b[None, :]) & (svals <= hi_b[None, :])
+    kept = jnp.sum(keep, axis=0)
+    mean = jnp.sum(jnp.where(keep, svals, 0.0), axis=0) / jnp.maximum(kept, 1)
+    clip_lo = jnp.sum(in_cnt & (svals < lo_b[None, :]))
+    clip_hi = jnp.sum(in_cnt & (svals > hi_b[None, :]))
+    result = jnp.where(cnt == 0, ref_frame_loc, mean)
+    return result, clip_lo, clip_hi
+
+
+@jax.jit
+def stack_linear_fit(frames, ref_frame_loc, sigma_low, sigma_high):
+    """Linear-fit stacking (stack.go:832-918): per pixel, regress the sorted
+    values against their rank, reject by mean absolute residual, iterate."""
+    n, p = frames.shape
+    valid0 = jnp.isfinite(frames)
+    cnt0 = jnp.sum(valid0, axis=0)
+    svals = jnp.sort(jnp.where(valid0, frames, _BIG), axis=0)
+    idx = jnp.arange(n)[:, None]
+    active0 = idx < cnt0[None, :]
+    svals = jnp.where(active0, svals, 0.0)
+
+    running0 = cnt0 > 0
+    result0 = jnp.full(p, jnp.float32(ref_frame_loc))
+
+    def body(state):
+        active, running, result, clip_lo, clip_hi, it = state
+        cnt = jnp.sum(active, axis=0)
+        c = jnp.maximum(cnt, 1).astype(jnp.float32)
+        # ranks among active values (xs in the reference)
+        ranks = jnp.cumsum(active, axis=0) - 1
+        xs = ranks.astype(jnp.float32)
+        ys = svals
+
+        xmean = jnp.sum(jnp.where(active, xs, 0.0), axis=0) / c
+        ymean = jnp.sum(jnp.where(active, ys, 0.0), axis=0) / c
+        xvar = jnp.sum(jnp.where(active, (xs - xmean) ** 2, 0.0), axis=0) / c
+        yvar = jnp.sum(jnp.where(active, (ys - ymean) ** 2, 0.0), axis=0) / c
+        xstd = jnp.sqrt(xvar)
+        ystd = jnp.sqrt(yvar)
+        corr = jnp.sum(jnp.where(active, (xs - xmean) * (ys - ymean), 0.0), axis=0)
+        corr = corr / (xstd * ystd * (c + 1.0) + 1e-30)
+        slope = corr * ystd / (xstd + 1e-30)
+        intercept = ymean - slope * xmean
+
+        lin = xs * slope[None, :] + intercept[None, :]
+        resid = ys - lin
+        sigma = jnp.sum(jnp.where(active, jnp.abs(resid), 0.0), axis=0) / c
+
+        low_b = sigma_low * sigma
+        high_b = sigma_high * sigma
+        rej_lo = active & ((-resid) > low_b[None, :])
+        rej_hi = active & (resid > high_b[None, :])
+        n_rej = jnp.sum(rej_lo | rej_hi, axis=0)
+        n_rej = jnp.where(running, n_rej, 0)
+
+        stop = running & ((n_rej == 0) | (cnt < 3))
+        result = jnp.where(stop, ymean, result)
+        clip_lo = clip_lo + jnp.sum(jnp.where(running[None, :], rej_lo, False))
+        clip_hi = clip_hi + jnp.sum(jnp.where(running[None, :], rej_hi, False))
+        # Only still-running, non-stopping pixels actually drop their rejects
+        # (the reference breaks before reslicing, stack.go:906-909).
+        new_active = jnp.where(running[None, :] & ~stop[None, :], active & ~(rej_lo | rej_hi), active)
+        return new_active, running & ~stop, result, clip_lo, clip_hi, it + 1
+
+    def cond(state):
+        _, running, _, _, _, it = state
+        return jnp.logical_and(jnp.any(running), it < n + 1)
+
+    state = (active0, running0, result0, jnp.int32(0), jnp.int32(0), 0)
+    _, _, result, clip_lo, clip_hi, _ = jax.lax.while_loop(cond, body, state)
+    return result, clip_lo, clip_hi
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher and incremental stacking
+# ---------------------------------------------------------------------------
+
+
+def stack(frames: jax.Array, mode: StackMode, weights=None,
+          sigma_low: float = 2.75, sigma_high: float = 2.75,
+          ref_frame_loc: float = 0.0):
+    """Stack (N, ...) frames along axis 0. Returns (stacked, clip_lo, clip_hi).
+
+    `frames` may be any shape with the frame axis first; NaNs mark missing
+    samples (e.g. out-of-bounds after projection).
+    """
+    shape = frames.shape[1:]
+    flat = frames.reshape(frames.shape[0], -1)
+    if mode == StackMode.Auto:
+        mode = auto_select_mode(frames.shape[0])
+    zero = jnp.int32(0)
+    if mode == StackMode.Median:
+        out = stack_median(flat, ref_frame_loc)
+        res = out, zero, zero
+    elif mode == StackMode.Mean:
+        if weights is None:
+            res = stack_mean(flat, ref_frame_loc), zero, zero
+        else:
+            res = stack_mean_weighted(flat, weights, ref_frame_loc), zero, zero
+    elif mode == StackMode.Sigma:
+        if weights is None:
+            res = stack_sigma(flat, ref_frame_loc, sigma_low, sigma_high)
+        else:
+            res = stack_sigma_weighted(flat, weights, ref_frame_loc, sigma_low, sigma_high)
+    elif mode == StackMode.WinsorSigma:
+        if weights is None:
+            res = stack_winsor_sigma(flat, ref_frame_loc, sigma_low, sigma_high)
+        else:
+            res = stack_winsor_sigma_weighted(flat, weights, ref_frame_loc, sigma_low, sigma_high)
+    elif mode == StackMode.MADSigma:
+        if weights is not None:
+            raise NotImplementedError("MADSigma stacking with weights is unimplemented (as in the reference)")
+        res = stack_mad_sigma(flat, ref_frame_loc, sigma_low, sigma_high)
+    elif mode == StackMode.LinearFit:
+        res = stack_linear_fit(flat, ref_frame_loc, sigma_low, sigma_high)
+    else:
+        raise ValueError(f"invalid stacking mode {mode}")
+    data, cl, ch = res
+    return data.reshape(shape), cl, ch
+
+
+@jax.jit
+def stack_incremental(acc, light: jax.Array, weight: float):
+    """Weighted running sum for stack-of-stacks (stack.go:924-937)."""
+    if acc is None:
+        return light * weight
+    return acc + light * weight
+
+
+@jax.jit
+def stack_incremental_finalize(acc: jax.Array, weight_sum: float) -> jax.Array:
+    """Divide by total weight (stack.go:940-944)."""
+    return acc * (1.0 / weight_sum)
+
+
+def get_weights(images, weighting: StackWeighting):
+    """Per-frame weights from image metadata (stack.go:231-270).
+
+    `images` is a list of pipeline Image objects; returns a jnp vector or None.
+    """
+    import numpy as np
+
+    if weighting == StackWeighting.NoWeight:
+        return None
+    if weighting == StackWeighting.Exposure:
+        ws = []
+        for f in images:
+            if f.exposure == 0:
+                raise ValueError(f"{f.id}: Missing exposure information for exposure-weighted stacking")
+            ws.append(f.exposure)
+        return jnp.asarray(np.array(ws, np.float32))
+    if weighting == StackWeighting.InverseNoise:
+        noises = [f.stats.noise for f in images]
+        lo, hi = min(noises), max(noises)
+        rng = hi - lo if hi > lo else 1.0
+        return jnp.asarray(np.array([1.0 / (1.0 + 4.0 * (x - lo) / rng) for x in noises], np.float32))
+    if weighting == StackWeighting.InverseHFR:
+        hfrs = [f.hfr for f in images]
+        lo, hi = min(hfrs), max(hfrs)
+        rng = hi - lo if hi > lo else 1.0
+        return jnp.asarray(np.array([1.0 / (1.0 + 4.0 * (x - lo) / rng) for x in hfrs], np.float32))
+    raise ValueError(f"Invalid weighting mode {weighting}")
