@@ -1,0 +1,300 @@
+"""Star detection with half-flux-radius measurement.
+
+TPU-native rebuild of the reference's 6-phase detector
+(reference: internal/star/findstars.go:59-396):
+
+1. bright-pixel candidates above location + scale*starSig -- here a 3x3
+   local-max mask + top_k over the image replaces the sequential scan with
+   same-row suppression (findstars.go:105-129); the later overlap filter
+   enforces the same one-star-per-radius invariant either way.
+2. bad-pixel rejection against the local 9-neighborhood median
+   (findstars.go:134-169), with the stddev of the median-difference map
+   computed over the full image instead of a random 1% sample.
+3. overlap filtering by descending mass (findstars.go:209-271): the
+   sequential 256px-grid greedy walk becomes a priority-MIS fixed point --
+   a star survives iff no surviving higher-priority star lies within the
+   radius -- iterated to convergence with a lax.while_loop over a KxK
+   conflict matrix. The fixed point equals the sequential greedy result.
+4. iterative center-of-mass refinement, <=10 rounds to 0.01px
+   (findstars.go:274-322), as a fori_loop over vmapped patch gathers.
+5. re-sort by mass + overlap filter again (findstars.go:80-82).
+6. HFR by radial first moment + in/out brightness plausibility filter
+   (findstars.go:327-396).
+
+All phases run on fixed-capacity arrays (MAX_CANDIDATES) with validity
+masks; the result is compacted and sorted by descending mass.
+
+Divergence from the reference: out-of-frame patch reads are clamped in 2D
+(the reference indexes the flat array with 1D bounds checks, which wraps
+across row ends for border stars, findstars.go:287-296).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_CANDIDATES = 2048
+
+
+@dataclass
+class StarList:
+    """Fixed-capacity star detection result (host copy).
+
+    Fields mirror star.Star (findstars.go:30-37): index, value, x, y, mass,
+    hfr -- plus the valid count. Arrays are mass-descending and compacted.
+    """
+
+    x: np.ndarray
+    y: np.ndarray
+    value: np.ndarray
+    mass: np.ndarray
+    hfr: np.ndarray
+    count: int
+
+    def __len__(self) -> int:
+        return self.count
+
+    def __iter__(self):
+        for i in range(self.count):
+            yield Star(
+                x=float(self.x[i]), y=float(self.y[i]), value=float(self.value[i]),
+                mass=float(self.mass[i]), hfr=float(self.hfr[i]),
+            )
+
+    def __getitem__(self, i):
+        if i >= self.count:
+            raise IndexError(i)
+        return Star(x=float(self.x[i]), y=float(self.y[i]), value=float(self.value[i]),
+                    mass=float(self.mass[i]), hfr=float(self.hfr[i]))
+
+    @staticmethod
+    def empty() -> "StarList":
+        z = np.zeros(0, np.float32)
+        return StarList(z, z, z, z, z, 0)
+
+
+@dataclass
+class Star:
+    x: float
+    y: float
+    value: float
+    mass: float
+    hfr: float
+
+
+def _patch(img: jax.Array, cy: jax.Array, cx: jax.Array, radius: int):
+    """(2r+1)^2 patch around integer center with 2D clamping; returns
+    (patch, in_bounds_mask)."""
+    h, w = img.shape
+    size = 2 * radius + 1
+    y0 = jnp.clip(cy - radius, 0, h - size)
+    x0 = jnp.clip(cx - radius, 0, w - size)
+    patch = jax.lax.dynamic_slice(img, (y0, x0), (size, size))
+    yy = y0 + jnp.arange(size)[:, None]
+    xx = x0 + jnp.arange(size)[None, :]
+    want_y = cy - radius + jnp.arange(size)[:, None]
+    want_x = cx - radius + jnp.arange(size)[None, :]
+    ok = (want_y == yy) & (want_x == xx)
+    return patch, ok
+
+
+def _overlap_filter(x, y, mass, valid, radius: float):
+    """Priority-MIS overlap filter (replaces findstars.go:209-271).
+
+    Keeps a star iff no surviving star with higher priority (greater mass,
+    ties by lower candidate index) lies within `radius`. Iterated to its
+    fixed point, which equals the sequential greedy filter's output.
+    """
+    k = x.shape[0]
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    # reference rounds the squared distance to int (findstars.go:238)
+    d2 = jnp.floor(dx * dx + dy * dy + 0.5)
+    conflict = d2 <= radius * radius
+    conflict = conflict & ~jnp.eye(k, dtype=bool)
+    idx = jnp.arange(k)
+    higher = (mass[None, :] > mass[:, None]) | (
+        (mass[None, :] == mass[:, None]) & (idx[None, :] < idx[:, None])
+    )
+    dominates = conflict & higher  # [i, j]: j can dominate i
+
+    def body(state):
+        alive, _ = state
+        dom = jnp.any(dominates & alive[None, :] & valid[None, :], axis=1)
+        new_alive = valid & ~dom
+        return new_alive, jnp.any(new_alive != alive)
+
+    def cond(state):
+        return state[1]
+
+    alive, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(True)))
+    return alive
+
+
+def _center_of_mass(img, cy0, cx0, x0, y0, threshold, radius: int):
+    """Iterative CoM refinement for one star (findstars.go:274-322).
+
+    Returns (cy, cx, x, y, mass, shift) after <=10 rounds of recentering.
+    """
+    size = 2 * radius + 1
+    offs = jnp.arange(size, dtype=jnp.float32) - radius
+
+    def round_body(_, state):
+        cy, cx, px, py, mass, shift2 = state
+
+        def do_round(args):
+            cy, cx, px, py, _, _ = args
+            patch, ok = _patch(img, cy, cx, radius)
+            v = jnp.maximum(jnp.where(ok, patch, 0.0) - threshold, 0.0)
+            v = jnp.where(ok, v, 0.0)
+            m = jnp.sum(v)
+            m = jnp.where(m == 0.0, 1e-8, m)
+            dx = jnp.sum(v * offs[None, :]) / m
+            dy = jnp.sum(v * offs[:, None]) / m
+            new_x = cx.astype(jnp.float32) + dx
+            new_y = cy.astype(jnp.float32) + dy
+            s2 = (new_x - px) ** 2 + (new_y - py) ** 2
+            new_cy = cy + jnp.round(dy).astype(jnp.int32)
+            new_cx = cx + jnp.round(dx).astype(jnp.int32)
+            return new_cy, new_cx, new_x, new_y, m, s2
+
+        return jax.lax.cond(shift2 > 1e-4, do_round, lambda a: a,
+                            (cy, cx, px, py, mass, shift2))
+
+    init = (cy0, cx0, x0, y0, jnp.float32(0.0), jnp.float32(3.4e38))
+    cy, cx, px, py, mass, shift2 = jax.lax.fori_loop(0, 10, round_body, init)
+    return cy, cx, px, py, mass, jnp.sqrt(shift2)
+
+
+def _hfr(img, cy, cx, location, radius: int):
+    """Half-flux radius + plausibility masses for one star
+    (findstars.go:327-396). Returns (hfr, mass, inner_mass, pixels,
+    inner_pixels)."""
+    size = 2 * radius + 1
+    offs = jnp.arange(size, dtype=jnp.float32) - radius
+    dist2 = offs[:, None] ** 2 + offs[None, :] ** 2
+    dist = jnp.sqrt(dist2)
+    dist2_limit = jnp.ceil((radius + 1e-8) * (radius + 1e-8))
+
+    patch, ok = _patch(img, cy, cx, radius)
+    in_disk = (dist2 <= dist2_limit) & ok
+    v = jnp.maximum(jnp.where(ok, patch, 0.0) - location, 0.0)
+    v = jnp.where(in_disk, v, 0.0)
+    mass = jnp.sum(v)
+    moment = jnp.sum(v * dist)
+    pixels = jnp.sum(dist2 <= dist2_limit)  # reference counts OOB pixels too
+    mass_safe = jnp.where(mass == 0.0, 1e-8, mass)
+    hfr = moment / mass_safe
+
+    inner_limit = jnp.ceil(hfr * hfr)
+    in_inner = (dist2 <= inner_limit) & ok
+    vi = jnp.where(in_inner, jnp.maximum(jnp.where(ok, patch, 0.0) - location, 0.0), 0.0)
+    inner_mass = jnp.sum(vi)
+    inner_pixels = jnp.sum(dist2 <= inner_limit)
+    return hfr, mass_safe, inner_mass, pixels, inner_pixels
+
+
+@partial(jax.jit, static_argnames=("radius", "max_candidates"))
+def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
+                       radius: int, median_diff_std, max_candidates: int):
+    h, w = img.shape
+    threshold = location + scale * star_sig
+
+    # Phase 1: local-max candidates above threshold, brightest first.
+    padded = jnp.pad(img, 1, constant_values=-jnp.inf)
+    neighborhood = jnp.max(
+        jnp.stack([padded[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]),
+        axis=0,
+    )
+    is_max = img >= neighborhood
+    cand_vals = jnp.where((img > threshold) & is_max, img, -jnp.inf).reshape(-1)
+    values, flat_idx = jax.lax.top_k(cand_vals, max_candidates)
+    valid = values > -jnp.inf
+    cy = (flat_idx // w).astype(jnp.int32)
+    cx = (flat_idx % w).astype(jnp.int32)
+    x = cx.astype(jnp.float32)
+    y = cy.astype(jnp.float32)
+    mass = values
+
+    # Phase 2: bad-pixel rejection against the 9-neighborhood median.
+    def local_median(cy_i, cx_i):
+        patch, ok = _patch(img, cy_i, cx_i, 1)
+        planes = [patch[j // 3, j % 3] for j in range(9)]
+        from nightlight_tpu.ops.prestack import median9
+
+        return median9(planes)
+
+    bp_threshold = median_diff_std * bp_sig
+    med = jax.vmap(local_median)(cy, cx)
+    diff = values - med
+    bp_ok = jnp.logical_or(bp_sig <= 0.0, jnp.abs(diff) < bp_threshold)
+    valid = valid & bp_ok
+
+    # Phase 3: overlap filter by mass (value at this point).
+    valid = _overlap_filter(x, y, mass, valid, float(radius))
+
+    # Phase 4: center-of-mass refinement.
+    com_threshold = location + scale * star_sig * 0.5
+    cy, cx, x, y, mass, _ = jax.vmap(
+        lambda a, b, c, d: _center_of_mass(img, a, b, c, d, com_threshold, radius)
+    )(cy, cx, x, y)
+
+    # Phase 5: overlap filter again with refined positions and CoM masses.
+    valid = _overlap_filter(x, y, mass, valid, float(radius))
+
+    # Phase 6: HFR + plausibility.
+    hfr, mass2, inner_mass, pixels, inner_pixels = jax.vmap(
+        lambda a, b: _hfr(img, a, b, location, radius)
+    )(cy, cx)
+    plausible = hfr <= radius
+    outer_mass = mass2 - inner_mass
+    outer_pixels = pixels - inner_pixels
+    plausible = plausible & (
+        inner_mass * outer_pixels.astype(jnp.float32)
+        > star_in_out * outer_mass * inner_pixels.astype(jnp.float32)
+    )
+    valid = valid & plausible
+    mass = mass2
+
+    # Compact: valid stars first, sorted by descending mass.
+    sort_key = jnp.where(valid, -mass, jnp.inf)
+    order = jnp.argsort(sort_key)
+    num = jnp.sum(valid)
+    avg_hfr = jnp.sum(jnp.where(valid, hfr, 0.0)) / jnp.maximum(num, 1)
+    return (x[order], y[order], values[order], mass[order], hfr[order], num, avg_hfr)
+
+
+def find_stars(img, location: float, scale: float, star_sig: float, bp_sig: float,
+               star_in_out: float, radius: int, median_diff_std: float | None = None,
+               max_candidates: int = MAX_CANDIDATES):
+    """Run star detection. Returns (StarList, avg_hfr).
+
+    `median_diff_std` is the stddev of the image-minus-3x3-median map; when
+    None and bp_sig > 0 it is computed here (findstars.go:139-150 estimates
+    it from a 1% random sample; we use the full image).
+    """
+    if median_diff_std is None:
+        if bp_sig > 0:
+            from nightlight_tpu.ops.prestack import bad_pixel_stats
+
+            _, std = bad_pixel_stats(img)
+            median_diff_std = float(std)
+        else:
+            median_diff_std = 0.0
+
+    x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
+        img, jnp.float32(location), jnp.float32(scale), jnp.float32(star_sig),
+        jnp.float32(bp_sig), jnp.float32(star_in_out), int(radius),
+        jnp.float32(median_diff_std), max_candidates,
+    )
+    n = int(num)
+    stars = StarList(
+        x=np.asarray(x)[:n], y=np.asarray(y)[:n], value=np.asarray(value)[:n],
+        mass=np.asarray(mass)[:n], hfr=np.asarray(hfr)[:n], count=n,
+    )
+    return stars, float(avg_hfr)

@@ -1,0 +1,149 @@
+"""Alignment tests: transform math, triangle generation, and end-to-end
+recovery of known transforms from synthetic star fields."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nightlight_tpu.align import transform as tf
+from nightlight_tpu.align.aligner import Aligner, generate_triangles, pick_brightest_distant
+from nightlight_tpu.detect.stars import StarList
+from nightlight_tpu.ops.resample import project
+
+
+class TestTransform:
+    def test_identity(self):
+        t = tf.identity()
+        pts = np.array([[3.0, 4.0], [0.0, 0.0]], np.float32)
+        np.testing.assert_allclose(tf.apply(t, pts), pts)
+
+    def test_from_three_points_recovers_affine(self, rng):
+        true = np.array([0.98, -0.21, 15.0, 0.21, 0.98, -7.0], np.float32)
+        p = rng.uniform(0, 1000, size=(3, 2)).astype(np.float32)
+        pp = tf.apply(true, p)
+        t = tf.from_three_points(p[0], p[1], p[2], pp[0], pp[1], pp[2])
+        np.testing.assert_allclose(t, true, rtol=1e-3, atol=1e-2)
+
+    def test_invert(self, rng):
+        t = np.array([0.9, -0.1, 5.0, 0.1, 0.9, -3.0], np.float32)
+        inv = tf.invert(t)
+        pts = rng.uniform(0, 100, size=(10, 2)).astype(np.float32)
+        back = tf.apply(inv, tf.apply(t, pts))
+        np.testing.assert_allclose(back, pts, atol=1e-3)
+
+    def test_invert_singular_raises(self):
+        with pytest.raises(ValueError):
+            tf.invert(np.array([1.0, 2.0, 0.0, 0.5, 1.0, 0.0], np.float32))  # b*d-a*e=0
+
+
+class TestTriangles:
+    def test_sides_sorted(self, rng):
+        xs = rng.uniform(0, 1000, size=10).astype(np.float32)
+        ys = rng.uniform(0, 1000, size=10).astype(np.float32)
+        sides, tris = generate_triangles(xs, ys, np.arange(10, dtype=np.int32))
+        assert len(sides) > 0
+        assert (sides[:, 0] < sides[:, 1]).all()
+        assert (sides[:, 1] < sides[:, 2]).all()
+        # verify side lengths actually correspond to the vertex order
+        for s, t in zip(sides[:5], tris[:5]):
+            a, b, c = t
+            dab = np.hypot(xs[a] - xs[b], ys[a] - ys[b])
+            dac = np.hypot(xs[a] - xs[c], ys[a] - ys[c])
+            dbc = np.hypot(xs[b] - xs[c], ys[b] - ys[c])
+            np.testing.assert_allclose([dab, dac, dbc], s, rtol=1e-5)
+
+    def test_pick_brightest_distant(self):
+        xs = np.array([0.0, 1.0, 100.0, 200.0], np.float32)
+        ys = np.zeros(4, np.float32)
+        picked = pick_brightest_distant(xs, ys, 50.0, 3)
+        assert list(picked) == [0, 2, 3]  # star 1 is too close to star 0
+
+
+def make_starlist(xs, ys, masses=None):
+    n = len(xs)
+    masses = masses if masses is not None else np.linspace(1000, 100, n)
+    order = np.argsort(-masses)
+    return StarList(
+        x=np.asarray(xs, np.float32)[order], y=np.asarray(ys, np.float32)[order],
+        value=np.ones(n, np.float32), mass=np.asarray(masses, np.float32)[order],
+        hfr=np.full(n, 2.5, np.float32), count=n,
+    )
+
+
+class TestAligner:
+    def _field(self, rng, n=40, w=1000, h=800):
+        xs = rng.uniform(50, w - 50, size=n).astype(np.float32)
+        ys = rng.uniform(50, h - 50, size=n).astype(np.float32)
+        masses = rng.uniform(100, 10000, size=n).astype(np.float32)
+        return xs, ys, masses
+
+    def test_recovers_translation(self, rng):
+        xs, ys, m = self._field(rng)
+        ref = make_starlist(xs, ys, m)
+        moved = make_starlist(xs - 12.5, ys + 7.25, m)  # frame shifted
+        aligner = Aligner([1000, 800], ref, k=20)
+        trans, residual = aligner.align([1000, 800], moved)
+        assert residual < 0.1
+        # transform must map frame coords -> reference coords
+        proj = tf.apply(trans, np.array([[100.0, 100.0]], np.float32))
+        np.testing.assert_allclose(proj[0], [112.5, 92.75], atol=0.1)
+
+    def test_recovers_rotation(self, rng):
+        xs, ys, m = self._field(rng)
+        ref = make_starlist(xs, ys, m)
+        theta = np.deg2rad(3.0)
+        ct, st_ = np.cos(theta), np.sin(theta)
+        # rotate about image center and translate
+        cx, cy = 500.0, 400.0
+        xr = ct * (xs - cx) - st_ * (ys - cy) + cx + 5.0
+        yr = st_ * (xs - cx) + ct * (ys - cy) + cy - 3.0
+        frame = make_starlist(xr.astype(np.float32), yr.astype(np.float32), m)
+        aligner = Aligner([1000, 800], ref, k=20)
+        trans, residual = aligner.align([1000, 800], frame)
+        assert residual < 0.1
+        # the recovered transform should invert the rotation
+        proj = tf.apply(trans, np.stack([xr, yr], -1).astype(np.float32))
+        d = proj - np.stack([xs, ys], -1)
+        assert np.sqrt((d * d).sum(-1)).max() < 0.5
+
+    def test_identity_frame(self, rng):
+        xs, ys, m = self._field(rng)
+        ref = make_starlist(xs, ys, m)
+        aligner = Aligner([1000, 800], ref, k=20)
+        trans, residual = aligner.align([1000, 800], ref)
+        assert residual < 0.01
+        np.testing.assert_allclose(trans, tf.identity(), atol=0.01)
+
+    def test_unalignable_returns_inf(self, rng):
+        xs, ys, m = self._field(rng, n=30)
+        ref = make_starlist(xs, ys, m)
+        # completely unrelated star field
+        xs2, ys2, m2 = self._field(np.random.default_rng(999), n=30)
+        frame = make_starlist(xs2, ys2, m2)
+        aligner = Aligner([1000, 800], ref, k=15)
+        _, residual = aligner.align([1000, 800], frame)
+        assert residual > 1.0  # caller drops frames above threshold
+
+
+class TestProject:
+    def test_identity_projection(self, rng):
+        img = rng.uniform(0, 100, size=(32, 48)).astype(np.float32)
+        out = project(jnp.asarray(img), [48, 32], tf.identity(), np.nan)
+        out = np.asarray(out)
+        # interior pixels must match exactly; the last row/col go OOB since
+        # bilinear needs xl+1 (project.go:52)
+        np.testing.assert_allclose(out[:-1, :-1], img[:-1, :-1], rtol=1e-6)
+        assert np.isnan(out[-1, -1])
+
+    def test_translation(self, rng):
+        img = rng.uniform(0, 100, size=(32, 48)).astype(np.float32)
+        trans = np.array([1.0, 0.0, 5.0, 0.0, 1.0, 3.0], np.float32)  # dest = src + (5,3)
+        out = np.asarray(project(jnp.asarray(img), [48, 32], trans, np.nan))
+        np.testing.assert_allclose(out[3:-1, 5:-1], img[: 32 - 4, : 48 - 6], rtol=1e-5)
+        assert np.isnan(out[0, 0])  # uncovered corner
+
+    def test_oob_fill_value(self, rng):
+        img = rng.uniform(0, 100, size=(16, 16)).astype(np.float32)
+        trans = np.array([1.0, 0.0, 100.0, 0.0, 1.0, 100.0], np.float32)
+        out = np.asarray(project(jnp.asarray(img), [16, 16], trans, -7.0))
+        assert (out == -7.0).all()

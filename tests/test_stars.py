@@ -1,0 +1,93 @@
+"""Star detection tests on synthetic fields: gaussian PSF stars on noisy
+background; checks counts, positions, HFR plausibility and overlap/bad-pixel
+filtering (reference ships no such tests)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nightlight_tpu.detect.stars import find_stars
+
+
+def synth_field(rng, h=256, w=256, stars=None, bg=100.0, noise=2.0, fwhm=3.0, flux=3000.0):
+    """Render gaussian stars at given (x, y) float positions."""
+    img = rng.normal(bg, noise, size=(h, w)).astype(np.float32)
+    sigma = fwhm / 2.3548
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for (sx, sy) in stars or []:
+        img += flux / (2 * np.pi * sigma**2) * np.exp(
+            -((xx - sx) ** 2 + (yy - sy) ** 2) / (2 * sigma**2)
+        )
+    return img
+
+
+class TestDetection:
+    def test_finds_all_stars(self, rng):
+        pos = [(40.0, 50.0), (120.0, 80.0), (200.0, 200.0), (60.0, 180.0)]
+        img = synth_field(rng, stars=pos)
+        stars, avg_hfr = find_stars(jnp.asarray(img), 100.0, 2.0,
+                                    star_sig=10.0, bp_sig=0.0, star_in_out=1.4, radius=16)
+        assert len(stars) == 4
+        found = {(round(s.x), round(s.y)) for s in stars}
+        for sx, sy in pos:
+            assert any(abs(fx - sx) <= 1 and abs(fy - sy) <= 1 for fx, fy in found), (sx, sy)
+
+    def test_subpixel_positions(self, rng):
+        pos = [(100.25, 60.75)]
+        img = synth_field(rng, stars=pos, noise=0.5, flux=10000.0)
+        stars, _ = find_stars(jnp.asarray(img), 100.0, 0.5,
+                              star_sig=10.0, bp_sig=0.0, star_in_out=1.4, radius=16)
+        assert len(stars) >= 1
+        s = stars[0]
+        assert s.x == pytest.approx(100.25, abs=0.15)
+        assert s.y == pytest.approx(60.75, abs=0.15)
+
+    def test_mass_descending_order(self, rng):
+        img = synth_field(rng, stars=[(50, 50), (150, 150)], flux=3000.0)
+        # brighten the second star
+        img += synth_field(rng, stars=[(150, 150)], bg=0, noise=0, flux=9000.0)
+        stars, _ = find_stars(jnp.asarray(img), 100.0, 2.0,
+                              star_sig=10.0, bp_sig=0.0, star_in_out=1.4, radius=16)
+        masses = [s.mass for s in stars]
+        assert masses == sorted(masses, reverse=True)
+        assert stars[0].x == pytest.approx(150, abs=1)
+
+    def test_hfr_scales_with_fwhm(self, rng):
+        img_small = synth_field(rng, stars=[(128, 128)], fwhm=2.0, flux=20000, noise=0.5)
+        img_big = synth_field(rng, stars=[(128, 128)], fwhm=6.0, flux=20000, noise=0.5)
+        _, hfr_small = find_stars(jnp.asarray(img_small), 100.0, 0.5, 10.0, 0.0, 1.4, 16)
+        _, hfr_big = find_stars(jnp.asarray(img_big), 100.0, 0.5, 10.0, 0.0, 1.4, 16)
+        assert hfr_big > hfr_small > 0
+
+    def test_empty_field(self, rng):
+        img = synth_field(rng, stars=[])
+        stars, _ = find_stars(jnp.asarray(img), 100.0, 2.0, 15.0, 0.0, 1.4, 16)
+        assert len(stars) == 0
+
+
+class TestBadPixelRejection:
+    def test_hot_pixel_rejected_with_bp_sigma(self, rng):
+        img = synth_field(rng, stars=[(60.0, 60.0)], flux=8000.0)
+        img[180, 180] = 50000.0  # single hot pixel, not a star
+        stars_nobp, _ = find_stars(jnp.asarray(img), 100.0, 2.0, 10.0, 0.0, 1.4, 16)
+        stars_bp, _ = find_stars(jnp.asarray(img), 100.0, 2.0, 10.0, 5.0, 1.4, 16)
+        pos_nobp = {(round(s.x), round(s.y)) for s in stars_nobp}
+        pos_bp = {(round(s.x), round(s.y)) for s in stars_bp}
+        assert (180, 180) in pos_nobp  # without rejection the hot pixel "detects"
+        assert (180, 180) not in pos_bp
+        assert any(abs(fx - 60) <= 1 and abs(fy - 60) <= 1 for fx, fy in pos_bp)
+
+
+class TestOverlapFilter:
+    def test_close_pair_keeps_brighter(self, rng):
+        img = synth_field(rng, stars=[(100.0, 100.0)], flux=20000, noise=0.5)
+        img += synth_field(rng, stars=[(106.0, 100.0)], bg=0, noise=0, flux=4000)
+        stars, _ = find_stars(jnp.asarray(img), 100.0, 0.5, 10.0, 0.0, 1.4, 16)
+        # stars 6px apart with radius 16: only the brighter survives
+        assert len(stars) == 1
+        assert stars[0].x == pytest.approx(100.0, abs=1.5)
+
+    def test_distant_pair_both_kept(self, rng):
+        img = synth_field(rng, stars=[(60.0, 60.0), (160.0, 160.0)], flux=8000, noise=0.5)
+        stars, _ = find_stars(jnp.asarray(img), 100.0, 0.5, 10.0, 0.0, 1.4, 16)
+        assert len(stars) == 2
