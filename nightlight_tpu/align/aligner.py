@@ -120,13 +120,14 @@ def _nearest_triangles(tri_sides: np.ndarray, ref_sides: np.ndarray, chunk: int 
 
 def _nn_match(proj: np.ndarray, ref_pts: np.ndarray):
     """Brute-force nearest reference star for each projected star
-    (replaces kdtree2 NN). Returns (nearest point (N,2), squared dist (N,))."""
+    (replaces kdtree2 NN). Returns (nearest point (N,2), squared dist (N,),
+    nearest index (N,))."""
     p = jnp.asarray(proj)
     r = jnp.asarray(ref_pts)
     d2 = (jnp.sum(p * p, axis=1)[:, None] + jnp.sum(r * r, axis=1)[None, :]
           - 2.0 * p @ r.T)
     idx = jnp.argmin(d2, axis=1)
-    return np.asarray(r[idx]), np.asarray(jnp.min(d2, axis=1))
+    return np.asarray(r[idx]), np.asarray(jnp.min(d2, axis=1)), np.asarray(idx)
 
 
 def _lsq_affine(pts: np.ndarray, ref: np.ndarray, mask: np.ndarray) -> np.ndarray | None:
@@ -198,9 +199,15 @@ class Aligner:
 
             # Match all stars under the candidate transform.
             proj = tf.apply(trans, pts)
-            ref_match, d2 = _nn_match(proj, self.ref_pts)
+            ref_match, d2, ref_idx = _nn_match(proj, self.ref_pts)
             mask = d2 < DIST_SQ_LIMIT
-            if mask.sum() < n_stars / 3:  # align.go:210
+            # Require >= 1/3 matched (align.go:210), and -- beyond the
+            # reference -- at least 4 DISTINCT reference stars: a 6-parameter
+            # affine fits <= 3 correspondences exactly, so degenerate
+            # candidates would otherwise win with zero residual on sparse
+            # star fields.
+            distinct = len(np.unique(ref_idx[mask]))
+            if mask.sum() < n_stars / 3 or distinct < min(4, len(self.ref_pts)):
                 continue
 
             refined = _lsq_affine(pts, ref_match, mask)

@@ -1,0 +1,454 @@
+"""Command-line interface.
+
+Rebuild of the reference CLI (reference: cmd/nightlight/main.go): the same
+commands (stats | stack | stretch | rgb | run | serve | legal | version), the
+same flags and per-command defaults, the same preset DAGs over the JSON job
+DSL, %auto filename derivation, and the job-JSON echo before execution.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+
+from nightlight_tpu import __version__
+from nightlight_tpu.ops.stats import LSEstimatorMode
+from nightlight_tpu.ops.stack import StackMode, StackWeighting
+from nightlight_tpu.ops.rgb import RGB
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """All flags of main.go:49-166 with identical names and defaults."""
+    p = argparse.ArgumentParser(
+        prog="nightlight-tpu",
+        description="TPU-native astrophotography pipeline (JSON job DSL compatible with nightlight)",
+        usage="%(prog)s [-flag value] (stats|stack|stretch|rgb|run|serve|legal|version) (img0.fits ... imgn.fits)",
+    )
+    a = p.add_argument
+    a("command", nargs="?", default="")
+    a("files", nargs="*", default=[])
+
+    a("-port", type=int, default=8080, help="port for serving HTTP API")
+    a("-job", default="", help="JSON job specification to run")
+
+    a("-out", default="out.fits", help="save output to file")
+    a("-jpg", default="%auto", help="save 8bit preview of output as JPEG")
+    a("-jpgGamma", type=float, default=1.0, help="gamma correction for JPG output")
+    a("-tiff", default="", help="save 16bit preview of output as TIFF")
+    a("-log", default="%auto", help="save log output to file")
+    a("-pre", dest="pre", default="", help="save pre-processed frames with filename pattern")
+    a("-stars", default="", help="save star detections with filename pattern")
+    a("-back", default="", help="save extracted background with filename pattern")
+    a("-post", dest="post", default="", help="save post-processed frames with filename pattern")
+    a("-batch", default="", help="save stacked batches with filename pattern")
+
+    a("-dark", default="", help="apply dark frame from file")
+    a("-flat", default="", help="apply flat frame from file")
+
+    a("-debayer", default="", help="debayer the given channel, one of R, G, B")
+    a("-cfa", default="RGGB", help="color filter array for debayering")
+
+    a("-debandH", type=float, default=0.0)
+    a("-debandV", type=float, default=0.0)
+    a("-debandHWindow", type=int, default=128)
+    a("-debandVWindow", type=int, default=128)
+    a("-debandHSigma", type=float, default=3.0)
+    a("-debandVSigma", type=float, default=3.0)
+
+    a("-binning", type=int, default=0)
+
+    a("-bpSigLow", type=float, default=3.0)
+    a("-bpSigHigh", type=float, default=5.0)
+
+    a("-starSig", type=float, default=15.0)
+    a("-starBpSig", type=float, default=-1.0)
+    a("-starInOut", type=float, default=1.4)
+    a("-starRadius", type=int, default=16)
+
+    a("-backGrid", type=int, default=0)
+    a("-backHFRFactor", type=float, default=4.0)
+    a("-backSigma", type=float, default=1.5)
+    a("-backClip", type=int, default=0)
+
+    a("-minStars", type=int, default=0)
+
+    a("-blurSigma", type=float, default=0.0)
+    a("-usmSigma", type=float, default=1.0)
+    a("-usmGain", type=float, default=0.0)
+    a("-usmThresh", type=float, default=1.0)
+
+    a("-alignK", type=int, default=20)
+    a("-alignT", type=float, default=1.0)
+
+    a("-lsEst", type=int, default=3)
+    a("-normRange", type=int, default=0)
+    a("-normHist", type=int, default=4)
+
+    a("-stMode", type=int, default=6)
+    a("-stSigLow", type=float, default=-1.0)
+    a("-stSigHigh", type=float, default=-1.0)
+    a("-stWeight", type=int, default=0)
+    a("-stMemory", type=int, default=0)
+
+    a("-histoRef", default="%starsHFR")
+    a("-alignRef", default="%starsHFR")
+
+    a("-neutSigmaLow", type=float, default=-1.0)
+    a("-neutSigmaHigh", type=float, default=-1.0)
+
+    a("-balBlock", type=int, default=16)
+    a("-balBorder", type=float, default=0.1)
+    a("-balSkipBright", type=float, default=0.0)
+    a("-balSkipDim", type=float, default=0.5)
+    a("-balShR", type=float, default=1.0)
+    a("-balShG", type=float, default=1.0)
+    a("-balShB", type=float, default=1.0)
+    a("-balHiR", type=float, default=1.0)
+    a("-balHiG", type=float, default=1.0)
+    a("-balHiB", type=float, default=1.0)
+
+    a("-chromaGamma", type=float, default=1.0)
+    a("-chromaSigma", type=float, default=1.0)
+    a("-chromaFrom", type=float, default=295.0)
+    a("-chromaTo", type=float, default=40.0)
+    a("-chromaBy", type=float, default=1.0)
+
+    a("-rotFrom", type=float, default=100.0)
+    a("-rotTo", type=float, default=190.0)
+    a("-rotBy", type=float, default=0.0)
+    a("-rotSigma", type=float, default=1.0)
+
+    a("-scnr", type=float, default=0.0)
+
+    a("-autoLoc", type=float, default=10.0)
+    a("-autoScale", type=float, default=0.4)
+
+    a("-midtone", type=float, default=0.0)
+    a("-midBlack", type=float, default=2.0)
+
+    a("-gamma", type=float, default=1.0)
+    a("-ppGamma", type=float, default=1.0)
+    a("-ppSigma", type=float, default=1.0)
+
+    a("-preScale", type=float, default=1.0)
+    a("-preOffset", type=float, default=0.0)
+
+    a("-lumScale", type=float, default=1.0)
+    a("-lumOffset", type=float, default=0.0)
+
+    a("-scaleBlack", type=float, default=0.0)
+
+    a("-exportStats", default="%auto")
+    a("-allowAbsolutePaths", action="store_true",
+      help="disable the relative-path sandbox for local CLI runs")
+    return p
+
+
+def auto_fill(value: str, base: str, extension: str) -> str:
+    """%auto filename derivation (main.go:448-456)."""
+    if value == "%auto":
+        if base:
+            root, _ = os.path.splitext(base)
+            return root + extension
+        return ""
+    return value
+
+
+HNM_AUTO = 4
+HNM_NONE = 0
+HNM_LOC_SCALE = 2
+
+
+def apply_command_defaults(args) -> None:
+    """Per-command defaults resolution (main.go:236-273)."""
+    cmd = args.command
+    if cmd == "stats":
+        args.bpSigLow = 0.0
+        args.bpSigHigh = 0.0
+        if args.normHist == HNM_AUTO:
+            args.normHist = HNM_NONE
+        if args.starBpSig < 0:
+            args.starBpSig = 0.0
+    elif cmd == "stack":
+        if args.normHist == HNM_AUTO:
+            args.normHist = HNM_LOC_SCALE
+        if args.starBpSig < 0:
+            args.starBpSig = 5.0
+    elif cmd in ("rgb", "lrgb"):
+        if args.normHist == HNM_AUTO:
+            args.normHist = HNM_NONE
+        if args.starBpSig < 0:
+            args.starBpSig = 0.0
+
+
+def build_preprocess_seq(args, op_star_detect, op_debayer):
+    """The shared preprocessing sub-DAG (main.go:285-297)."""
+    from nightlight_tpu.pipeline import OpSave, OpSequence
+    from nightlight_tpu.pipeline.operators import ExportMode
+    from nightlight_tpu.pipeline.ops_pre import (
+        OpBackExtract, OpBadPixel, OpBin, OpCalibrate, OpDebandHoriz,
+        OpDebandVert, OpScaleOffset,
+    )
+    from nightlight_tpu.pipeline.ops_ref import OpExportStats
+
+    return OpSequence(steps=[
+        OpCalibrate(dark=args.dark, flat=args.flat),
+        OpBadPixel(sigma_low=args.bpSigLow, sigma_high=args.bpSigHigh, debayer=op_debayer),
+        op_debayer,
+        OpDebandHoriz(percentile=args.debandH, window=args.debandHWindow, sigma=args.debandHSigma),
+        OpDebandVert(percentile=args.debandV, window=args.debandVWindow, sigma=args.debandVSigma),
+        OpScaleOffset(scale=args.preScale, offset=args.preOffset),
+        OpBin(bin_size=args.binning),
+        op_star_detect,
+        OpBackExtract(grid_size=args.backGrid, hfr_factor=args.backHFRFactor,
+                      sigma=args.backSigma, clip=args.backClip,
+                      save=OpSave(file_pattern=args.back, export_mode=int(ExportMode.MinMax), gamma=1)),
+        OpExportStats(file_name=args.exportStats),
+        OpSave(file_pattern=args.pre, export_mode=int(ExportMode.MinMax), gamma=1),
+    ])
+
+
+def build_command_seq(args):
+    """Build the preset DAG for the current command (main.go:300-405)."""
+    from nightlight_tpu.pipeline import OpLoadMany, OpSave, OpSequence
+    from nightlight_tpu.pipeline.operators import ExportMode
+    from nightlight_tpu.pipeline.ops_pre import OpDebayer, OpStarDetect
+    from nightlight_tpu.pipeline.ops_ref import OpFilter, OpSelectReference, SelRefTarget
+    from nightlight_tpu.pipeline.ops_post import OpAlign, OpMatchHistogram, OutOfBoundsMode
+    from nightlight_tpu.pipeline.ops_stack import OpStack, OpStackBatches
+    from nightlight_tpu.pipeline.ops_rgb import (
+        OpHSLuvToRGB, OpRGBBalance, OpRGBCombine, OpRGBToHSLuv,
+    )
+    from nightlight_tpu.pipeline.ops_hsl import (
+        OpHSLApplyLum, OpHSLGamma, OpHSLGammaPP, OpHSLMidtones,
+        OpHSLNeutralizeBackground, OpHSLRotateHue, OpHSLSaturationGamma,
+        OpHSLScaleBlack, OpHSLScaleOffsetChannel, OpHSLSCNR,
+        OpHSLSelectiveSaturation, OpHSLStretchIterative, OpHSLUnsharpMask,
+    )
+    from nightlight_tpu.pipeline.ops_stretch import (
+        OpGamma, OpGammaPP, OpGaussianBlur, OpMidtones, OpNormalizeRange,
+        OpScaleBlack, OpStretchIterative, OpUnsharpMask,
+    )
+
+    op_load_many = OpLoadMany(file_patterns=list(args.files))
+    op_debayer = OpDebayer(channel=args.debayer, color_filter_array=args.cfa)
+    op_star_detect = OpStarDetect(
+        radius=args.starRadius, sigma=args.starSig, bad_pixel_sigma=args.starBpSig,
+        in_out_ratio=args.starInOut,
+        save=OpSave(file_pattern=args.stars, export_mode=int(ExportMode.MinMax), gamma=1))
+    op_preproc = build_preprocess_seq(args, op_star_detect, op_debayer)
+
+    cmd = args.command
+    if cmd == "stats":
+        return OpSequence(steps=[op_load_many, op_preproc])
+
+    if cmd == "stack":
+        return OpSequence(steps=[
+            op_load_many,
+            OpStackBatches(per_batch=OpSequence(steps=[
+                op_preproc,
+                OpSelectReference(target=int(SelRefTarget.Histo), mode=args.histoRef,
+                                  star_detect=op_star_detect),
+                OpSelectReference(target=int(SelRefTarget.Align), mode=args.alignRef,
+                                  star_detect=op_star_detect),
+                OpFilter(min_stars=args.minStars),
+                OpMatchHistogram(mode=args.normHist),
+                OpAlign(k=args.alignK, threshold=args.alignT, oob_mode=int(OutOfBoundsMode.NaN)),
+                OpSave(file_pattern=args.post, export_mode=int(ExportMode.MinMax), gamma=1),
+                # -1 means "auto" in the reference flags; its goal-seek sigma
+                # search is dead code there (stackfindsigma.go), so resolve to
+                # the operator default of 2.75 here.
+                OpStack(mode=args.stMode, weighting=args.stWeight,
+                        sigma_low=args.stSigLow if args.stSigLow >= 0 else 2.75,
+                        sigma_high=args.stSigHigh if args.stSigHigh >= 0 else 2.75),
+                op_star_detect,
+                OpSave(file_pattern=args.batch, export_mode=int(ExportMode.MinMax), gamma=1),
+            ])),
+            op_star_detect,
+            OpSave(file_pattern=args.out, export_mode=int(ExportMode.MinMax), gamma=1),
+            OpSave(file_pattern=args.tiff, export_mode=int(ExportMode.Zero65535), gamma=1),
+            OpSave(file_pattern=args.jpg, export_mode=int(ExportMode.Zero65535), gamma=args.jpgGamma),
+        ])
+
+    if cmd == "stretch":
+        return OpSequence(steps=[
+            op_load_many,
+            OpNormalizeRange(),
+            OpStretchIterative(location=args.autoLoc / 100, scale=args.autoScale / 100),
+            OpMidtones(mid=args.midtone, black=args.midBlack),
+            OpGamma(gamma=args.gamma),
+            OpGammaPP(gamma=args.ppGamma, sigma=args.ppSigma),
+            OpScaleBlack(location=args.scaleBlack / 100),
+            op_star_detect,
+            OpSelectReference(target=int(SelRefTarget.Align), mode=args.alignRef,
+                              star_detect=op_star_detect),
+            OpAlign(k=args.alignK, threshold=args.alignT,
+                    oob_mode=int(OutOfBoundsMode.OwnLocation)),
+            OpGaussianBlur(sigma=args.blurSigma),
+            OpUnsharpMask(sigma=args.usmSigma, gain=args.usmGain, threshold=args.usmThresh),
+            OpSave(file_pattern=args.out, export_mode=int(ExportMode.MinMax), gamma=1),
+            OpSave(file_pattern=args.tiff, export_mode=int(ExportMode.Zero1), gamma=1),
+            OpSave(file_pattern=args.jpg, export_mode=int(ExportMode.Zero1), gamma=args.jpgGamma),
+        ])
+
+    if cmd == "rgb":
+        return OpSequence(steps=[
+            op_load_many,
+            op_star_detect,
+            OpSelectReference(target=int(SelRefTarget.Align), mode="%rgb",
+                              star_detect=op_star_detect),
+            OpRGBCombine(),
+            OpRGBBalance(block=args.balBlock, border=args.balBorder,
+                         skip_bright=args.balSkipBright, skip_dim=args.balSkipDim,
+                         shadows={"R": args.balShR, "G": args.balShG, "B": args.balShB},
+                         highlights={"R": args.balHiR, "G": args.balHiG, "B": args.balHiB}),
+            OpRGBToHSLuv(),
+            OpHSLApplyLum(),
+            OpHSLUnsharpMask(sigma=args.usmSigma, gain=args.usmGain, threshold=args.usmThresh),
+            OpHSLNeutralizeBackground(sigma_low=args.neutSigmaLow, sigma_high=args.neutSigmaHigh),
+            OpHSLSaturationGamma(gamma=args.chromaGamma, sigma=args.chromaSigma),
+            OpHSLSelectiveSaturation(from_=args.chromaFrom, to=args.chromaTo, factor=args.chromaBy),
+            OpHSLRotateHue(from_=args.rotFrom, to=args.rotTo, offset=args.rotBy, sigma=args.rotSigma),
+            OpHSLSCNR(factor=args.scnr),
+            OpHSLStretchIterative(location=args.autoLoc / 100, scale=args.autoScale / 100),
+            OpHSLMidtones(mid=args.midtone, black=args.midBlack),
+            OpHSLGamma(gamma=args.gamma),
+            OpHSLGammaPP(gamma=args.ppGamma, sigma=args.ppSigma),
+            OpHSLScaleOffsetChannel(channel_id=2, scale=args.lumScale, offset=args.lumOffset),
+            OpHSLScaleBlack(location=args.scaleBlack / 100),
+            OpHSLuvToRGB(),
+            OpSave(file_pattern=args.out, export_mode=int(ExportMode.MinMax), gamma=1),
+            OpSave(file_pattern=args.tiff, export_mode=int(ExportMode.Zero1), gamma=1),
+            OpSave(file_pattern=args.jpg, export_mode=int(ExportMode.Zero1), gamma=args.jpgGamma),
+        ])
+
+    raise ValueError(f"Unknown command '{cmd}'")
+
+
+def run_op(op, c) -> None:
+    """Echo the job JSON and materialize all promises (main.go:458-473)."""
+    from nightlight_tpu.pipeline import materialize_all
+
+    c.logf("\nRunning JSON job:\n%s\n", op.to_json())
+    promises = op.make_promises([], c)
+    _, err = materialize_all(promises, c.max_threads, True)
+    if err is not None:
+        raise err
+
+
+LEGAL = """nightlight_tpu, a TPU-native astrophotography processing framework.
+Built on JAX/XLA/Pallas. This program comes with ABSOLUTELY NO WARRANTY.
+Capability set modeled on mlnoga/nightlight (GPL-3.0); this implementation
+is an independent rebuild.
+"""
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations: a CLI tool is a fresh
+    process every run, and the pipeline's kernels take tens of seconds to
+    compile cold on TPU."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "NIGHTLIGHT_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "nightlight_tpu", "jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    start = time.time()
+    _enable_compilation_cache()
+
+    log_writer = sys.stdout
+    args.log = auto_fill(args.log, args.out, ".log")
+    log_file = None
+    if args.log:
+        log_file = open(args.log, "w")
+
+        class MultiWriter(io.TextIOBase):
+            def write(self, s):
+                sys.stdout.write(s)
+                log_file.write(s)
+                return len(s)
+
+            def flush(self):
+                sys.stdout.flush()
+                log_file.flush()
+
+        log_writer = MultiWriter()
+
+    args.jpg = auto_fill(args.jpg, args.out, ".jpg")
+    args.tiff = auto_fill(args.tiff, args.out, ".tif")
+    args.exportStats = auto_fill(args.exportStats, args.out, ".html")
+
+    cmd = args.command
+    if not cmd:
+        parser.print_usage()
+        return 0
+    if cmd in ("stats", "stack", "stretch", "rgb", "lrgb"):
+        log_writer.write(f"Using location and scale estimator {args.lsEst}\n")
+
+    apply_command_defaults(args)
+
+    from nightlight_tpu.pipeline import operators as opmod
+    from nightlight_tpu.pipeline.context import new_context
+
+    if args.allowAbsolutePaths:
+        opmod.ALLOW_ABSOLUTE_PATHS = True
+
+    c = new_context(log=log_writer, st_memory=args.stMemory,
+                    ls_mode=LSEstimatorMode(args.lsEst))
+    import nightlight_tpu.ops.stats as stats_mod
+
+    stats_mod.DEFAULT_LS_ESTIMATOR = LSEstimatorMode(args.lsEst)
+
+    try:
+        if cmd == "serve":
+            from nightlight_tpu.serve.rest import serve
+
+            serve(args.port, args.stMemory)
+        elif cmd in ("stats", "stack", "stretch", "rgb"):
+            run_op(build_command_seq(args), c)
+        elif cmd == "run":
+            with open(args.job) as fh:
+                content = json.load(fh)
+            from nightlight_tpu.pipeline import op_from_dict
+
+            run_op(op_from_dict(content), c)
+        elif cmd == "legal":
+            log_writer.write(LEGAL)
+        elif cmd == "version":
+            log_writer.write(f"Version {__version__}\n")
+        elif cmd in ("help", "?"):
+            parser.print_usage()
+        else:
+            log_writer.write(f"Unknown command '{cmd}'\n\n")
+            parser.print_usage()
+            return 0
+    except Exception as e:  # noqa: BLE001 - CLI error reporting
+        log_writer.write(f"Error: {e}\n")
+        return -1
+    finally:
+        if log_file is not None:
+            log_file.flush()
+
+    elapsed = time.time() - start
+    log_writer.write(f"\nDone after {elapsed:.2f}s\n")
+    if log_file is not None:
+        log_file.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

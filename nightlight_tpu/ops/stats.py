@@ -480,6 +480,16 @@ class Stats:
         return s
 
     @classmethod
+    def from_stddev(cls, stddev: float) -> "Stats":
+        """Data-free Stats carrying only a stddev (the median-diff stats kept
+        for star detection after BadPixelMap frees its data,
+        badpixels.go:37-40)."""
+        s = cls(None, 0)
+        s._stddev = float(stddev)
+        s._have_stddev = True
+        return s
+
+    @classmethod
     def for_channel(cls, data, width: int, ch: int, mode: LSEstimatorMode | None = None) -> "Stats":
         """Stats over one channel of a (3, H, W) cube (stats.go:70-76)."""
         return cls(data[ch], width, mode)
@@ -489,11 +499,28 @@ class Stats:
         self._data = data
         self.clear()
 
+    def replace_data(self, data) -> None:
+        """Swap the underlying array WITHOUT invalidating caches; pair with
+        update_cached_with() after a linear transform (pixelops.go:131-134)."""
+        self._data = data
+
     def free_data(self) -> None:
         self._data = None
 
     def clear(self) -> None:
         self._have_mmm = self._have_stddev = self._have_locscale = self._have_noise = False
+
+    def _flat(self):
+        """1D view of the data for the estimator kernels. Flattening OUTSIDE
+        jit makes all image shapes with equal pixel counts share one compiled
+        program -- the (H, W)-shaped variants compile ~10x slower on TPU and
+        fragment the persistent compilation cache."""
+        d = self._data
+        if d is None:
+            raise ValueError("cannot calculate stats on freed data")
+        if hasattr(d, "reshape") and d.ndim != 1:
+            return d.reshape(-1)
+        return d
 
     def update_cached_with(self, multiplier: float, offset: float) -> None:
         """O(1) cache update after x -> x*multiplier + offset (stats.go:91-99)."""
@@ -510,7 +537,7 @@ class Stats:
         if not self._have_mmm:
             if self._data is None:
                 raise ValueError("cannot calculate stats on freed data")
-            mn, me, mx = min_mean_max(self._data)
+            mn, me, mx = min_mean_max(self._flat())
             self._min, self._mean, self._max = float(mn), float(me), float(mx)
             self._have_mmm = True
 
@@ -532,7 +559,7 @@ class Stats:
     @property
     def stddev(self) -> float:
         if not self._have_stddev:
-            self._stddev = float(np.sqrt(float(variance(self._data, jnp.float32(self.mean)))))
+            self._stddev = float(np.sqrt(float(variance(self._flat(), jnp.float32(self.mean)))))
             self._have_stddev = True
         return self._stddev
 
@@ -567,19 +594,19 @@ class Stats:
             self._location, self._scale = self.mean, self.stddev
         elif mode == LSEstimatorMode.MedianMAD:
             key = jax.random.PRNGKey(0)
-            loc = fast_approx_median(self._data, key)
+            loc = fast_approx_median(self._flat(), key)
             self._location = float(loc)
-            self._scale = float(fast_approx_mad(self._data, loc, jax.random.PRNGKey(1)))
+            self._scale = float(fast_approx_mad(self._flat(), loc, jax.random.PRNGKey(1)))
         elif mode == LSEstimatorMode.IKSS:
-            loc, scale = ikss(self._data)
+            loc, scale = ikss(self._flat())
             self._location, self._scale = float(loc), float(scale)
         elif mode == LSEstimatorMode.SCMedianQn:
             eps = (self.max - self.min) / 65535.0
-            loc, scale = sigma_clipped_median_qn(self._data, 2.0, 2.0, eps, jax.random.PRNGKey(0))
+            loc, scale = sigma_clipped_median_qn(self._flat(), 2.0, 2.0, eps, jax.random.PRNGKey(0))
             self._location, self._scale = float(loc), float(scale)
         elif mode == LSEstimatorMode.Histogram:
             loc, scale = histogram_scale_loc(
-                self._data, jnp.float32(self.min), jnp.float32(self.max), 4096
+                self._flat(), jnp.float32(self.min), jnp.float32(self.max), 4096
             )
             self._location, self._scale = float(loc), float(scale)
         else:

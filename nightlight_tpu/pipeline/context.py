@@ -1,0 +1,72 @@
+"""Per-job execution context.
+
+Rebuild of the reference's ops.Context (reference: internal/ops/operator.go:
+37-67): shared per-run state -- log writer, estimator mode, memory budget,
+master dark/flat, alignment/histogram references, luminance frame -- guarded
+by locks where operators mutate it concurrently.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from nightlight_tpu.ops.stats import LSEstimatorMode
+
+
+def total_memory_mb() -> int:
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        return int(pages * page_size / 1024 / 1024)
+    except (ValueError, OSError):
+        return 8192
+
+
+@dataclass
+class Context:
+    log: Any = sys.stdout
+    ls_estimator_mode: LSEstimatorMode = LSEstimatorMode.SCMedianQn
+    memory_mb: int = 0
+    stack_memory_mb: int = 0
+    max_threads: int = 0
+
+    dark_frame: Any = None  # Image
+    flat_frame: Any = None  # Image
+    align_naxisn: Optional[list] = None
+    align_stars: Any = None  # StarList
+    align_hfr: float = 0.0
+    match_histo: Any = None  # Stats
+    ref_frame_error: Optional[Exception] = None
+    lum_frame: Any = None  # Image
+
+    stats_total: int = 0
+    stats_processed: int = 0
+    stats_file: Any = None
+
+    # per-op shared-state locks (the reference uses per-operator mutexes)
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def __post_init__(self):
+        if self.memory_mb == 0:
+            self.memory_mb = total_memory_mb()
+        if self.stack_memory_mb == 0:
+            self.stack_memory_mb = self.memory_mb * 7 // 10
+        if self.max_threads == 0:
+            self.max_threads = os.cpu_count() or 4
+
+    def logf(self, fmt: str, *args) -> None:
+        """Printf-style logging (Context.Log writes in the reference)."""
+        self.log.write(fmt % args if args else fmt)
+        if hasattr(self.log, "flush"):
+            self.log.flush()
+
+
+def new_context(log=None, st_memory: int = 0,
+                ls_mode: LSEstimatorMode = LSEstimatorMode.SCMedianQn) -> Context:
+    """ops.NewContext equivalent (operator.go:58-67)."""
+    return Context(log=log or sys.stdout, ls_estimator_mode=ls_mode,
+                   stack_memory_mb=st_memory)

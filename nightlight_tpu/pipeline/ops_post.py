@@ -1,0 +1,141 @@
+"""Histogram normalization and alignment operators
+(reference: internal/ops/post/postprocess.go)."""
+
+from __future__ import annotations
+
+import math
+import threading
+from enum import IntEnum
+
+import numpy as np
+
+from nightlight_tpu.image import Image
+from nightlight_tpu.ops import pixelmath as pm
+from nightlight_tpu.pipeline.context import Context
+from nightlight_tpu.pipeline.operators import UnaryOperator, register
+
+
+class HistoNormMode(IntEnum):
+    """Histogram normalization modes (postprocess.go:33-39)."""
+
+    NoNorm = 0
+    Location = 1
+    LocScale = 2
+    LocBlack = 3
+    Auto = 4
+
+
+class OutOfBoundsMode(IntEnum):
+    """Out-of-bounds fill for projection (postprocess.go:99-103)."""
+
+    NaN = 0
+    RefLocation = 1
+    OwnLocation = 2
+
+
+@register
+class OpMatchHistogram(UnaryOperator):
+    """Match histogram against the context reference (postprocess.go:41-94)."""
+
+    TYPE = "matchHist"
+    PARAMS = {"mode": ("mode", int(HistoNormMode.LocScale))}
+
+    def apply(self, f: Image, c: Context):
+        if f is None:
+            return None
+        mode = HistoNormMode(self.mode)
+        if mode == HistoNormMode.NoNorm:
+            return f
+        if c.match_histo is None:
+            raise ValueError("missing histogram reference")
+        if mode == HistoNormMode.Location:
+            multiplier = c.match_histo.location / f.stats.location
+            f.data = pm.match_location(f.data, f.stats.location, c.match_histo.location)
+            f.stats.replace_data(f.data)
+            f.stats.update_cached_with(multiplier, 0.0)
+        elif mode == HistoNormMode.LocScale:
+            multiplier = c.match_histo.scale / f.stats.scale
+            offset = c.match_histo.location - f.stats.location * multiplier
+            f.data = pm.match_histogram(f.data, f.stats.location, f.stats.scale,
+                                        c.match_histo.location, c.match_histo.scale)
+            f.stats.replace_data(f.data)
+            f.stats.update_cached_with(multiplier, offset)
+        elif mode == HistoNormMode.LocBlack:
+            f.data = pm.shift_black_to_move(f.data, f.stats.location, c.match_histo.location)
+            f.stats.set_data(f.data)
+        c.logf("%d: %s after matching reference histogram %s\n", f.id, f.stats, c.match_histo)
+        return f
+
+
+@register
+class OpAlign(UnaryOperator):
+    """Align each frame to the context reference and project it
+    (postprocess.go:105-207)."""
+
+    TYPE = "align"
+    PARAMS = {
+        "k": ("k", 50),
+        "threshold": ("threshold", 1.0),
+        "oob_mode": ("oobMode", int(OutOfBoundsMode.NaN)),
+    }
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self._mutex = threading.Lock()
+        self._aligner = None
+
+    def _init_aligner(self, c: Context) -> None:
+        with self._mutex:
+            if self.k <= 0 or self._aligner is not None:
+                return
+            if c.align_naxisn is None or c.align_stars is None:
+                raise ValueError("Unable to align without reference frame")
+            if len(c.align_stars) == 0:
+                raise ValueError("Unable to align without star detections in reference frame")
+            from nightlight_tpu.align.aligner import Aligner
+
+            self._aligner = Aligner(c.align_naxisn, c.align_stars, self.k)
+
+    def apply(self, f: Image, c: Context):
+        if f is None:
+            return None
+        from nightlight_tpu.align import transform as tf
+        from nightlight_tpu.ops.resample import project
+
+        self._init_aligner(c)
+        aligner = self._aligner
+
+        if self.k <= 0 or aligner is None or len(aligner.ref_stars) == 0:
+            f.trans = tf.identity()
+        elif f.stars is aligner.ref_stars:
+            # reference frame itself (postprocess.go:155-157)
+            f.trans = tf.identity()
+        elif f.stars is None or len(f.stars) == 0:
+            c.logf("%d: No alignment stars found, skipping frame\n", f.id)
+            return None
+        else:
+            mode = OutOfBoundsMode(self.oob_mode)
+            if mode == OutOfBoundsMode.NaN:
+                oob = float("nan")
+            elif mode == OutOfBoundsMode.RefLocation:
+                oob = c.match_histo.location
+            else:
+                oob = f.stats.location
+
+            trans, residual = aligner.align(f.naxisn, f.stars, f.id)
+            if residual > self.threshold:
+                c.logf("%d: Alignment residual %g is above threshold %g, skipping frame\n",
+                       f.id, residual, self.threshold)
+                return None
+            f.trans, f.residual = trans, residual
+            c.logf("%d: Transform %s; residual %.3g oob %.3g\n",
+                   f.id, tf.to_string(trans), residual, oob)
+
+            projected = project(f.data, aligner.naxisn, trans, oob)
+            out = Image.from_naxisn(list(aligner.naxisn), projected,
+                                    ls_mode=f.stats.mode if f.stats else None)
+            out.id, out.exposure = f.id, f.exposure
+            out.stars, out.hfr = f.stars, f.hfr
+            out.trans, out.residual = trans, residual
+            f = out
+        return f

@@ -1,0 +1,191 @@
+"""Stacking operators: OpStack (n->1 barrier) and OpStackBatches (the
+larger-than-memory randomized batching engine)
+(reference: internal/ops/stack/stack.go, stackbatches.go)."""
+
+from __future__ import annotations
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from nightlight_tpu.image import Image
+from nightlight_tpu.ops import stack as stk
+from nightlight_tpu.pipeline.context import Context
+from nightlight_tpu.pipeline.operators import OpSequence, Operator, materialize_all, register
+
+
+@register
+class OpStack(Operator):
+    """Stack all input frames into one image (stack.go:66-227)."""
+
+    TYPE = "stack"
+    PARAMS = {
+        "mode": ("mode", int(stk.StackMode.Auto)),
+        "weighting": ("weighting", int(stk.StackWeighting.NoWeight)),
+        "sigma_low": ("sigmaLow", 2.75),
+        "sigma_high": ("sigmaHigh", 2.75),
+    }
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.ref_frame_loc = 0.0  # json:"-" in the reference
+
+    def make_promises(self, ins, c):
+        if not ins:
+            raise ValueError(f"{self.TYPE} operator needs inputs")
+
+        def out():
+            fs, err = materialize_all(ins, c.max_threads, False)
+            if err is not None:
+                raise err
+            return self.apply(fs, c)
+
+        return [out]
+
+    def apply(self, fs: list[Image], c: Context) -> Image:
+        mode = stk.StackMode(self.mode)
+        if mode == stk.StackMode.Auto:
+            mode = stk.auto_select_mode(len(fs))
+        c.logf("Stacking %d frames with stacking mode %d and sigma low %g high %g:\n",
+               len(fs), int(mode), self.sigma_low, self.sigma_high)
+
+        weights = stk.get_weights(fs, stk.StackWeighting(self.weighting))
+
+        frames = jnp.stack([f.data for f in fs])
+        data, clip_lo, clip_hi = stk.stack(
+            frames, mode, weights=weights,
+            sigma_low=self.sigma_low, sigma_high=self.sigma_high,
+            ref_frame_loc=self.ref_frame_loc)
+
+        if mode >= stk.StackMode.Sigma:
+            total = len(fs) * fs[0].pixels
+            c.logf("Clipped low %d (%.2f%%) high %d (%.2f%%)\n",
+                   int(clip_lo), float(clip_lo) * 100.0 / total,
+                   int(clip_hi), float(clip_hi) * 100.0 / total)
+
+        result = Image.from_naxisn(list(fs[0].naxisn), data,
+                                   ls_mode=fs[0].stats.mode if fs[0].stats else None)
+        result.exposure = sum(f.exposure for f in fs)
+        return result
+
+
+@register
+class OpStackBatches(Operator):
+    """Larger-than-memory stacking: solve a memory-feasible batch size,
+    randomly permute frames into batches, run the per-batch sub-DAG, and
+    combine incrementally (stackbatches.go:30-210)."""
+
+    TYPE = "stackBatches"
+    PARAMS = {}
+
+    def __init__(self, per_batch: OpSequence | None = None, **kwargs):
+        super().__init__(**kwargs)
+        self.per_batch = per_batch or OpSequence()
+
+    def to_dict(self) -> dict:
+        return {"type": self.TYPE, "perBatch": self.per_batch.to_dict()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "OpStackBatches":
+        from nightlight_tpu.pipeline.operators import op_from_dict
+
+        pb = d.get("perBatch")
+        return cls(per_batch=op_from_dict(pb) if pb else None)
+
+    def make_promises(self, ins, c):
+        if not ins:
+            raise ValueError("No frames to batch process")
+        return [lambda: self.apply(ins, c)]
+
+    def apply(self, ins, c: Context) -> Image:
+        ins_perm, num_batches, batch_size, max_threads = self._partition(ins, c)
+        c.max_threads = max_threads
+        c.stats_total = len(ins_perm)
+        c.stats_processed = 0
+
+        stack_acc = None
+        stack_img = None
+        stack_frames = 0
+        for b in range(num_batches):
+            batch = ins_perm[b * batch_size : (b + 1) * batch_size]
+            c.logf("\nStarting batch %d of %d with %d frames...\n", b + 1, num_batches, len(batch))
+            promises = self.per_batch.make_promises(batch, c)
+            if len(promises) != 1:
+                raise ValueError("stacking returned more than one promise")
+            batch_img = promises[0]()
+            if num_batches > 1:
+                if stack_img is None:
+                    stack_img = Image.like(batch_img)
+                    stack_img.exposure = 0.0
+                stack_acc = stk.stack_incremental(stack_acc, batch_img.data, float(len(batch)))
+                stack_img.exposure += batch_img.exposure
+                stack_frames += len(batch)
+            else:
+                stack_img = batch_img
+
+        c.dark_frame, c.flat_frame = None, None
+
+        if num_batches > 1:
+            stack_img.set_data(stk.stack_incremental_finalize(stack_acc, float(stack_frames)))
+        return stack_img
+
+    def _partition(self, ins, c: Context):
+        """Memory-budget solver + random permutation (stackbatches.go:121-210)."""
+        num_frames = len(ins)
+        if c.dark_frame is not None:
+            width, height = c.dark_frame.naxisn[0], c.dark_frame.naxisn[1]
+        elif c.flat_frame is not None:
+            width, height = c.flat_frame.naxisn[0], c.flat_frame.naxisn[1]
+        else:
+            first = ins[0]()
+            c.logf("\nEstimating memory needs for %d images from %s:\n", num_frames, first.file_name)
+            width, height = first.naxisn[0], first.naxisn[1]
+            # keep the materialized first frame so it is not loaded twice
+            ins = [(lambda img=first: img)] + list(ins[1:])
+        pixels = width * height
+        nbytes = pixels * 4
+        mib = nbytes // (1 << 20)
+        c.logf("%d images of %dx%d pixels (%.1f MPixels), which each take %d MiB in-memory"
+               " as floating point.\n", num_frames, width, height, pixels * 1e-6, mib)
+
+        available_frames = (c.stack_memory_mb << 20) // nbytes
+        max_threads = c.max_threads
+        c.logf("CPU has %d threads. Physical memory is %d MiB, -op.Memory is %d MiB,"
+               " this fits %d frames.\n", max_threads, c.memory_mb, c.stack_memory_mb,
+               available_frames)
+
+        num_batches = batch_size = 0
+        while max_threads >= 1:
+            batch_size = available_frames - max_threads
+            if c.dark_frame is not None:
+                batch_size -= 1
+            if c.flat_frame is not None:
+                batch_size -= 1
+            if batch_size < 2:
+                max_threads -= 1
+                continue
+            num_batches = (num_frames + batch_size - 1) // batch_size
+            if num_batches > 1:
+                batch_size -= 2  # reference frame + stack of stacks
+            if batch_size < 2 or batch_size < max_threads:
+                max_threads -= 1
+                continue
+            break
+        if max_threads < 1 or batch_size < 2:
+            raise ValueError("Cannot find a stacking execution path within the given memory constraints.")
+        while (batch_size - 1) * num_batches >= num_frames:
+            batch_size -= 1
+        c.logf("Using %d random batches of size %d with %d images in parallel.\n",
+               num_batches, batch_size, max_threads)
+
+        ins_perm = list(ins)
+        if num_batches > 1:
+            c.logf("Randomizing input files into batches...\n")
+            perm = list(range(len(ins)))
+            random.shuffle(perm)
+            for i in range(num_batches):
+                lo, hi = i * batch_size, min((i + 1) * batch_size, len(perm))
+                perm[lo:hi] = sorted(perm[lo:hi])
+            ins_perm = [ins[p] for p in perm]
+        return ins_perm, num_batches, batch_size, max_threads

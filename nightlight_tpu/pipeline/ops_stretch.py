@@ -1,0 +1,230 @@
+"""Mono stretch operators: normalize, iterative auto-stretch, midtones, gamma,
+post-peak gamma, black scaling, gaussian blur, unsharp mask
+(reference: internal/ops/stretch/stretch.go)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nightlight_tpu.image import Image
+from nightlight_tpu.ops import pixelmath as pm
+from nightlight_tpu.pipeline.context import Context
+from nightlight_tpu.pipeline.operators import UnaryOperator, register
+
+
+def ideal_stretch_gamma(loc: float, scale: float, target_loc: float, target_scale: float) -> float:
+    """Search gamma in [1, 5] step 0.01 for the value whose post-stretch scale
+    best matches the target (stretch.go:118-140). Vectorized on the host."""
+    gammas = np.arange(1.0, 5.0 + 1e-9, 0.01)
+    exponent = 1.0 / gammas
+    new_loc_lower = np.power(max(loc - scale, 0.0), exponent)
+    new_loc = np.power(loc, exponent)
+    new_loc_upper = np.power(loc + scale, exponent)
+    black = (target_loc - new_loc) / (target_loc - 1.0)
+    s = 1.0 / (1.0 - black)
+    lower = np.maximum(0.0, (new_loc_lower - black) * s)
+    upper = np.maximum(0.0, (new_loc_upper - black) * s)
+    new_scale = (upper - lower) / 2.0
+    delta = np.abs(target_scale - new_scale)
+    # baseline: gamma 1 with delta |target-scale| (stretch.go:118-119)
+    best = int(np.argmin(delta))
+    if delta[best] < abs(target_scale - scale):
+        return float(gammas[best])
+    return 1.0
+
+
+def stretch_iterative(f: Image, c: Context, target_loc: float, target_scale: float,
+                      get_loc_scale, apply_gamma, shift_black) -> None:
+    """Shared iterative auto-stretch loop (stretch.go:103-159), parameterized
+    over whole-image vs single-channel application."""
+    for i in range(51):
+        if i == 50:
+            c.logf("%d: Warning: did not converge after %d iterations\n", f.id, i)
+            break
+        loc, scale = get_loc_scale()
+        c.logf("%d: Linear location %.2f%% and scale %.2f%%, ", f.id, loc * 100, scale * 100)
+        if loc <= target_loc * 1.01 and scale < target_scale:
+            gamma = ideal_stretch_gamma(loc, scale, target_loc, target_scale)
+            if gamma <= 1.01:
+                c.logf("done\n")
+                break
+            c.logf("applying gamma %.3g\n", gamma)
+            apply_gamma(gamma)
+        elif loc > target_loc * 0.99 and scale < target_scale:
+            c.logf("scaling black to move location to %.2f%%...\n", target_loc * 100)
+            shift_black(loc, target_loc)
+        else:
+            c.logf("done\n")
+            break
+
+
+@register
+class OpNormalizeRange(UnaryOperator):
+    """Normalize to [0,1] (stretch.go:30-67)."""
+
+    TYPE = "normRange"
+    PARAMS = {}
+
+    def apply(self, f: Image, c: Context) -> Image:
+        if f.stats is None:
+            raise ValueError("missing stats")
+        if f.stats.max - f.stats.min < 1e-8:
+            c.logf("%d: Warning: Image is of uniform intensity %.4g, skipping normalization\n",
+                   f.id, f.stats.min)
+        else:
+            c.logf("%d: Normalizing from [%.4g,%.4g] to [0,1]\n", f.id, f.stats.min, f.stats.max)
+            vmin, vmax = f.stats.min, f.stats.max
+            scale = 1.0 / (vmax - vmin)
+            f.data = pm.normalize(f.data, vmin, vmax)
+            f.stats.replace_data(f.data)
+            f.stats.update_cached_with(scale, -vmin * scale)
+        return f
+
+
+@register
+class OpStretchIterative(UnaryOperator):
+    """Iterative gamma/black-shift auto-stretch (stretch.go:70-159)."""
+
+    TYPE = "stretch"
+    PARAMS = {"location": ("location", 0.1), "scale": ("scale", 0.004)}
+
+    def apply(self, f: Image, c: Context) -> Image:
+        if self.location == 0 and self.scale == 0:
+            return f
+        c.logf("%d: Auto-stretching loc to %.2f%% and scale to %.2f%% ...\n",
+               f.id, self.location * 100, self.scale * 100)
+
+        def get_loc_scale():
+            return f.stats.location, f.stats.scale
+
+        def apply_gamma(g):
+            f.data = pm.gamma(f.data, g)
+            f.stats.set_data(f.data)
+
+        def shift_black(before, after):
+            f.data = pm.shift_black_to_move(f.data, before, after)
+            f.stats.set_data(f.data)
+
+        stretch_iterative(f, c, self.location, self.scale, get_loc_scale, apply_gamma, shift_black)
+        return f
+
+
+@register
+class OpMidtones(UnaryOperator):
+    """Midtones transfer keyed off location/scale (stretch.go:163-206)."""
+
+    TYPE = "midtones"
+    PARAMS = {"mid": ("mid", 0.0), "black": ("black", 1.0)}
+
+    def apply(self, f: Image, c: Context) -> Image:
+        if self.mid == 0:
+            return f
+        c.logf("%d: Applying midtone correction with midtone=%.2f%% x scale and "
+               "black=location - %.2f%% x scale\n", f.id, self.mid, self.black)
+        loc, scale = f.stats.location, f.stats.scale
+        abs_mid = self.mid * scale
+        abs_black = loc - self.black * scale
+        c.logf("%d: loc %.2f%% scale %.2f%% absMid %.2f%% absBlack %.2f%%\n",
+               f.id, 100 * loc, 100 * scale, 100 * abs_mid, 100 * abs_black)
+        f.data = pm.midtones(f.data, abs_mid, abs_black)
+        f.stats.set_data(f.data)
+        return f
+
+
+@register
+class OpGamma(UnaryOperator):
+    """Plain gamma (stretch.go:210-244)."""
+
+    TYPE = "gamma"
+    PARAMS = {"gamma": ("gamma", 1.0)}
+
+    def apply(self, f: Image, c: Context) -> Image:
+        if self.gamma == 1.0:
+            return f
+        c.logf("%d: Applying gamma %.3g\n", f.id, self.gamma)
+        f.data = pm.gamma(f.data, self.gamma)
+        f.stats.set_data(f.data)
+        return f
+
+
+@register
+class OpGammaPP(UnaryOperator):
+    """Post-peak partial gamma (stretch.go:247-289)."""
+
+    TYPE = "gammaPP"
+    PARAMS = {"gamma": ("gamma", 1.0), "sigma": ("sigma", 1.0)}
+
+    def apply(self, f: Image, c: Context) -> Image:
+        if self.gamma == 1.0:
+            return f
+        loc, scale = f.stats.location, f.stats.scale
+        from_ = loc + self.sigma * scale
+        to = 1.0
+        c.logf("%d: Based on sigma=%.4g, boosting [%.2f%%, %.2f%%] with gamma %.4g...\n",
+               f.id, self.sigma, from_ * 100, to * 100, self.gamma)
+        f.data = pm.partial_gamma(f.data, from_, to, self.gamma)
+        f.stats.set_data(f.data)
+        return f
+
+
+@register
+class OpScaleBlack(UnaryOperator):
+    """Move the black point so the peak lands at a target (stretch.go:293-335)."""
+
+    TYPE = "scaleBlack"
+    PARAMS = {"location": ("location", 0.0)}
+
+    def apply(self, f: Image, c: Context) -> Image:
+        if self.location == 0:
+            return f
+        loc, scale = f.stats.location, f.stats.scale
+        c.logf("%d: Location %.2f%% and scale %.2f%%: ", f.id, loc * 100, scale * 100)
+        if loc > self.location:
+            c.logf("scaling black to move location to %.2f%%...\n", self.location * 100.0)
+            f.data = pm.shift_black_to_move(f.data, loc, self.location)
+            f.stats.set_data(f.data)
+        else:
+            c.logf("cannot move to location %.2f%% by scaling black\n", self.location * 100.0)
+        return f
+
+
+@register
+class OpGaussianBlur(UnaryOperator):
+    """Gaussian blur (stretch.go:339-376)."""
+
+    TYPE = "gaussianBlur"
+    PARAMS = {"sigma": ("sigma", 2.0)}
+
+    def apply(self, f: Image, c: Context) -> Image:
+        if self.sigma == 0:
+            return f
+        from nightlight_tpu.ops.gauss import gaussian_blur, gaussian_kernel_1d
+
+        kernel = gaussian_kernel_1d(self.sigma)
+        c.logf("%d: Gaussian blur kernel sigma %.2f size %d: %s\n",
+               f.id, self.sigma, len(kernel), list(np.round(kernel, 6)))
+        f.set_data(gaussian_blur(f.data, self.sigma))
+        return f
+
+
+@register
+class OpUnsharpMask(UnaryOperator):
+    """Unsharp mask above a noise threshold (stretch.go:380-424)."""
+
+    TYPE = "unsharpMask"
+    PARAMS = {"sigma": ("sigma", 1.5), "gain": ("gain", 0.0), "threshold": ("threshold", 1.0)}
+
+    def apply(self, f: Image, c: Context) -> Image:
+        if self.sigma == 0 or self.gain == 0:
+            return f
+        from nightlight_tpu.ops.gauss import gaussian_kernel_1d, unsharp_mask
+
+        abs_thresh = f.stats.location + f.stats.scale * self.threshold
+        c.logf("%d: Unsharp masking with sigma %.3g gain %.3g thresh %.3g absThresh %.3g\n",
+               f.id, self.sigma, self.gain, self.threshold, abs_thresh)
+        kernel = gaussian_kernel_1d(self.sigma)
+        c.logf("%d: Unsharp masking kernel sigma %.2f size %d: %s\n",
+               f.id, self.sigma, len(kernel), list(np.round(kernel, 6)))
+        f.set_data(unsharp_mask(f.data, self.sigma, self.gain,
+                                f.stats.min, f.stats.max, abs_thresh))
+        return f

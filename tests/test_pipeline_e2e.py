@@ -1,0 +1,200 @@
+"""End-to-end pipeline tests: synthetic FITS frames through the full CLI
+command DAGs (the reference's test/Makefile black-box model, SURVEY.md
+section 4), plus JSON job round-trips."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nightlight_tpu.image import Image
+from nightlight_tpu.io import fits as nlfits
+from tests.test_stars import synth_field
+
+
+STAR_POS = [(40.0, 50.0), (120.0, 80.0), (200.0, 200.0), (60.0, 180.0),
+            (150.0, 30.0), (230.0, 120.0), (90.0, 230.0), (30.0, 120.0),
+            (180.0, 170.0), (210.0, 60.0)]
+
+
+def write_frames(tmp_path, rng, n_frames=4, shift_per_frame=(3.0, -2.0), h=256, w=256,
+                 prefix="light", bg=100.0, hot_frame=None):
+    """Write n shifted synthetic star-field FITS files; returns file names.
+
+    Uses a well-sampled PSF (fwhm 8): with the stack command's default
+    starBpSig=5, undersampled star cores are indistinguishable from hot
+    pixels (for the reference detector too, findstars.go:134-169).
+    """
+    names = []
+    for i in range(n_frames):
+        dx, dy = shift_per_frame[0] * i, shift_per_frame[1] * i
+        stars = [(x + dx, y + dy) for (x, y) in STAR_POS]
+        img = synth_field(rng, h=h, w=w, stars=stars, bg=bg, noise=2.0, flux=8000.0, fwhm=8.0)
+        if hot_frame == i:
+            img += 500.0  # simulated bright outlier frame
+        im = Image.from_naxisn([w, h], jnp.asarray(img))
+        im.exposure = 60.0
+        fn = str(tmp_path / f"{prefix}{i:02d}.fits")
+        nlfits.write_file(im, fn)
+        names.append(fn)
+    return names
+
+
+def run_cli(args, tmp_path):
+    from nightlight_tpu import cli
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = cli.main(args)
+    finally:
+        os.chdir(cwd)
+    return rc
+
+
+class TestStatsCommand:
+    def test_stats_runs_and_logs(self, tmp_path, rng, capsys):
+        write_frames(tmp_path, rng, n_frames=2)
+        rc = run_cli(["-out", "", "-log", "", "-exportStats", "stats.html",
+                      "stats", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Found 2 files." in out
+        assert "0: Stars" in out and "1: Stars" in out
+        assert (tmp_path / "stats.html").exists()
+
+
+class TestStackCommand:
+    def test_stack_end_to_end(self, tmp_path, rng, capsys):
+        write_frames(tmp_path, rng, n_frames=4)
+        rc = run_cli(["-out", "stacked.fits", "-log", "", "-jpg", "%auto",
+                      "-exportStats", "",
+                      "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert (tmp_path / "stacked.fits").exists()
+        assert (tmp_path / "stacked.jpg").exists()
+
+        stacked = nlfits.read_file(str(tmp_path / "stacked.fits"), to_device=False)
+        assert stacked.naxisn == [256, 256]
+        # exposure is summed over frames (stack.go:220-225)
+        assert stacked.exposure == pytest.approx(240.0)
+        # stars must be present at the REFERENCE frame positions after alignment
+        data = stacked.to_numpy()
+        # background level preserved
+        assert abs(np.median(data) - 100.0) < 5.0
+        assert "Stacking 4 frames with stacking mode 1" in out  # 4 frames -> Mean
+
+    def test_stack_aligns_shifted_frames(self, tmp_path, rng):
+        write_frames(tmp_path, rng, n_frames=4, shift_per_frame=(4.0, 3.0))
+        rc = run_cli(["-out", "stacked.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "stack", "light*.fits"], tmp_path)
+        assert rc == 0
+        data = nlfits.read_file(str(tmp_path / "stacked.fits"), to_device=False).to_numpy()
+        # If alignment worked, each reference star position has a sharp peak.
+        # Reference frame is chosen by max stars/HFR; with identical fields it
+        # is one of the shifted variants, so check peak sharpness instead:
+        # the global max should be ~4x the single-frame star peak (mean stack
+        # of aligned peaks) rather than washed out.
+        peak = data.max() - np.median(data)
+        single = synth_field(np.random.default_rng(0), stars=[(50, 50)], bg=0, noise=0,
+                             flux=8000.0, fwhm=8.0)
+        assert peak > 0.8 * single.max()
+
+    def test_stack_sigma_clips_outlier_frames(self, tmp_path, rng, capsys):
+        write_frames(tmp_path, rng, n_frames=8, shift_per_frame=(0.0, 0.0))
+        rc = run_cli(["-out", "stacked.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Stacking 8 frames with stacking mode 2" in out  # sigma mode
+        assert "Clipped low" in out
+
+
+class TestStretchCommand:
+    def test_stretch_single_image(self, tmp_path, rng, capsys):
+        write_frames(tmp_path, rng, n_frames=1)
+        rc = run_cli(["-out", "stretched.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "stretch", "light00.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        st = nlfits.read_file(str(tmp_path / "stretched.fits"), to_device=False)
+        d = st.to_numpy()
+        assert 0.0 <= d.min() and d.max() <= 1.0
+        # histogram peak moved toward the 10% target
+        assert np.median(d) > 0.02
+
+
+class TestRGBCommand:
+    def test_rgb_combine(self, tmp_path, rng, capsys):
+        # three color channels of the same field with different intensities
+        for ch, gain in (("r", 1.0), ("g", 0.8), ("b", 0.6)):
+            img = synth_field(rng, h=128, w=128, stars=STAR_POS[:6], bg=100.0 * gain,
+                              noise=1.0, flux=8000.0 * gain)
+            im = Image.from_naxisn([128, 128], jnp.asarray(img))
+            im.exposure = 60.0
+            nlfits.write_file(im, str(tmp_path / f"chan_{ch}.fits"))
+        rc = run_cli(["-out", "rgb.fits", "-log", "", "-jpg", "rgb.jpg", "-exportStats", "",
+                      "rgb", "chan_r.fits", "chan_g.fits", "chan_b.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        rgb = nlfits.read_file(str(tmp_path / "rgb.fits"), to_device=False)
+        assert rgb.naxisn == [128, 128, 3]
+        assert (tmp_path / "rgb.jpg").exists()
+
+
+class TestRunCommand:
+    def test_json_job_roundtrip(self, tmp_path, rng, capsys):
+        write_frames(tmp_path, rng, n_frames=2)
+        job = {
+            "type": "seq",
+            "steps": [
+                {"type": "loadMany", "filePatterns": ["light*.fits"]},
+                {"type": "starDetect", "radius": 16, "sigma": 15.0,
+                 "badPixelSigma": 0.0, "inOutRatio": 1.4},
+                {"type": "stack", "mode": 1},
+                {"type": "save", "filePattern": "job_out.fits"},
+            ],
+        }
+        (tmp_path / "job.json").write_text(json.dumps(job))
+        rc = run_cli(["-log", "", "-out", "", "-job", "job.json", "run"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert (tmp_path / "job_out.fits").exists()
+
+    def test_unknown_op_type_fails(self, tmp_path, capsys):
+        (tmp_path / "job.json").write_text(json.dumps({"type": "noSuchOp"}))
+        rc = run_cli(["-log", "", "-out", "", "-job", "job.json", "run"], tmp_path)
+        assert rc == -1
+        assert "unknown operator type" in capsys.readouterr().out
+
+
+class TestJobSerialization:
+    def test_all_registered_ops_roundtrip(self):
+        """Every registered operator must JSON round-trip through the factory
+        (the reference panics on decode mismatches; we assert equality)."""
+        from nightlight_tpu.pipeline.operators import _operator_factories, op_from_dict
+
+        skip_defaults = {"seq", "stackBatches"}  # structural ops tested separately
+        for t, cls in _operator_factories.items():
+            if t in skip_defaults:
+                continue
+            op = cls()
+            d = op.to_dict()
+            assert d["type"] == t
+            op2 = op_from_dict(d)
+            assert op2.to_dict() == d, t
+
+    def test_sequence_roundtrip(self):
+        from nightlight_tpu.pipeline import OpLoadMany, OpSequence, op_from_dict
+        from nightlight_tpu.pipeline.ops_stack import OpStack, OpStackBatches
+
+        seq = OpSequence(steps=[
+            OpLoadMany(file_patterns=["*.fits"]),
+            OpStackBatches(per_batch=OpSequence(steps=[OpStack(mode=2)])),
+        ])
+        d = seq.to_dict()
+        seq2 = op_from_dict(d)
+        assert seq2.to_dict() == d
