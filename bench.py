@@ -1,0 +1,83 @@
+"""Benchmark: 16MP frames/sec through the flagship stacking path.
+
+Measures the BASELINE.json primary metric -- calibrate + histogram-match +
+sigma-clip stack of 16-megapixel subexposures -- on the available accelerator,
+processing device-resident frame batches in row chunks (the shape the
+out-of-core engine uses). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+vs_baseline is relative to the driver's north-star target of 100x16MP
+end-to-end in <10s (= 10 frames/sec); the Go reference publishes no numbers
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _enable_cache() -> None:
+    import jax
+
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "nightlight_tpu", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main() -> None:
+    _enable_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+
+    from nightlight_tpu.parallel.mesh import _pipeline_step
+    from nightlight_tpu.ops.stack import StackMode
+
+    n_frames = 40
+    h, w = 4096, 4096  # 16.8 MP
+    chunk_rows = 512
+    n_chunks = h // chunk_rows
+
+    key = jax.random.PRNGKey(0)
+    # One device-resident chunk template; per-chunk data is derived on device
+    # so HBM holds only (frames, chunk, w) at once plus working set.
+    base = jax.random.normal(key, (n_frames, chunk_rows, w), jnp.float32) * 2.0 + 100.0
+    dark = jnp.zeros((chunk_rows, w), jnp.float32) + 1.0
+    flat = jnp.ones((chunk_rows, w), jnp.float32)
+    ones = jnp.ones(n_frames, jnp.float32)
+
+    step = jax.jit(partial(_pipeline_step, mode=int(StackMode.Sigma)))
+
+    def run_chunk(i):
+        chunk = base + jnp.float32(i) * 0.001  # unique data per chunk
+        out = step(chunk, dark, flat, jnp.float32(1.0), ones, ones, ones,
+                   jnp.float32(100.0), jnp.float32(2.0),
+                   jnp.float32(2.75), jnp.float32(2.75))
+        return out
+
+    # Warm-up / compile
+    run_chunk(0)[0].block_until_ready()
+
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_chunks):
+        outs.append(run_chunk(i))
+    outs[-1][0].block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    frames_per_sec = n_frames / elapsed
+    target = 10.0  # 100 x 16MP in <10s (BASELINE.md)
+    print(json.dumps({
+        "metric": "16MP frames/sec stacked (calibrate+match+sigma-clip)",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(frames_per_sec / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Device mesh and sharded pipeline steps.
+
+The reference is single-process CPU-threaded (SURVEY.md section 2.7); its
+scaling axes map onto a JAX device mesh as:
+
+* pixel-tile data parallelism: the stacking reduction, calibration, and all
+  elementwise post-processing are independent per pixel, so the pixel axis
+  shards cleanly across chips ("dp" over rows). Global scalars -- clip
+  counters, statistics reductions -- become psums that XLA inserts
+  automatically from the sharding annotations; they ride ICI.
+* frame-axis parallelism: per-frame preprocessing (calibrate/debayer) is
+  embarrassingly parallel over frames; for the sharded step the frame axis
+  stays replicated because stacking reduces over it per pixel.
+
+The mesh layout keeps every collective on ICI: only stacked tiles (already
+reduced over frames) ever cross shards.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nightlight_tpu.ops import stack as stk
+
+
+def make_mesh(devices=None, axis: str = "pix") -> Mesh:
+    """1D mesh over the pixel-row axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_rows(mesh: Mesh, axis: str = "pix") -> NamedSharding:
+    """Sharding for (frames, rows, cols): rows split across the mesh."""
+    return NamedSharding(mesh, P(None, axis, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
+                   loc0, scale0, sigma_low, sigma_high, mode: int):
+    """One fused training-step analog: calibrate every frame, match
+    histograms to the reference, and reduce the frame axis with the
+    configured outlier-rejection stack. All math is per-pixel independent,
+    so a row-sharded input runs without any cross-device transfers until
+    the scalar clip counters (psum)."""
+    # calibration (pre/preprocess.go:68-99)
+    cal = frames - dark[None]
+    cal = jnp.where(flat[None] <= 0.0, cal, cal * flat_max / flat[None])
+    # per-frame linear histogram match (pixelops.go:601-611)
+    mult = (ref_scales / scale0)[:, None, None]
+    off = (ref_locs - loc0 * (ref_scales / scale0))[:, None, None]
+    matched = cal * mult + off
+    # stacking reduction over the frame axis
+    stacked, clip_lo, clip_hi = stk.stack(
+        matched, stk.StackMode(mode), weights=weights,
+        sigma_low=sigma_low, sigma_high=sigma_high, ref_frame_loc=loc0)
+    return stacked, clip_lo, clip_hi
+
+
+def sharded_pipeline_step(mesh: Mesh, mode: int = int(stk.StackMode.Sigma), axis: str = "pix"):
+    """Jit the full calibrate+match+stack step with row sharding over the
+    mesh. Returns the compiled function."""
+    data_sharding = NamedSharding(mesh, P(None, axis, None))
+    out_sharding = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    plane = NamedSharding(mesh, P(axis, None))
+
+    fn = jax.jit(
+        partial(_pipeline_step, mode=mode),
+        in_shardings=(data_sharding, plane, plane, rep, rep, rep, rep, rep, rep, rep, rep),
+        out_shardings=(out_sharding, rep, rep),
+    )
+    return fn
+
+
+def run_sharded_stack(frames: np.ndarray, dark: np.ndarray, flat: np.ndarray,
+                      mesh: Mesh | None = None, mode: int = int(stk.StackMode.Sigma),
+                      sigma_low: float = 2.75, sigma_high: float = 2.75):
+    """Convenience wrapper: place host frames on the mesh and run one step."""
+    if mesh is None:
+        mesh = make_mesh()
+    n = frames.shape[0]
+    fn = sharded_pipeline_step(mesh, mode)
+    dev_frames = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+    plane = NamedSharding(mesh, P("pix", None))
+    dev_dark = jax.device_put(jnp.asarray(dark), plane)
+    dev_flat = jax.device_put(jnp.asarray(flat), plane)
+    ones = jnp.ones(n, jnp.float32)
+    weights = jnp.ones(n, jnp.float32)
+    return fn(dev_frames, dev_dark, dev_flat, jnp.float32(flat.max()), weights,
+              ones, ones, jnp.float32(1.0), jnp.float32(1.0),
+              jnp.float32(sigma_low), jnp.float32(sigma_high))
