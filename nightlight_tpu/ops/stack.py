@@ -80,6 +80,11 @@ def _prepare(frames: jax.Array, weights):
 
     Returns (sorted centered values, permuted weights or None, valid counts,
     per-pixel center). frames: (N, P).
+
+    Values are centered by the per-pixel MEDIAN of the valid samples: the
+    prefix sums of squares otherwise suffer float32 cancellation when the
+    surviving cluster sits far from zero (the mean is no help -- outlier
+    frames drag it away from the cluster).
     """
     n = frames.shape[0]
     valid = jnp.isfinite(frames)
@@ -92,8 +97,8 @@ def _prepare(frames: jax.Array, weights):
         order = jnp.argsort(filled, axis=0)
         svals = jnp.take_along_axis(filled, order, axis=0)
         sw = weights[order]
-    # Center values for numerically stable prefix sums of squares.
-    center = jnp.where(cnt > 0, jnp.sum(jnp.where(valid, frames, 0.0), axis=0) / jnp.maximum(cnt, 1), 0.0)
+    center = _median_range(svals, jnp.zeros_like(cnt), cnt)
+    center = jnp.where(cnt > 0, center, 0.0)
     idx = jnp.arange(n)[:, None]
     svals = jnp.where(idx < cnt[None, :], svals - center[None, :], 0.0)
     return svals, sw, cnt, center
@@ -253,7 +258,15 @@ def _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, wins
         else:
             wsum = _take(w1, new_hi) - _take(w1, new_lo)
             wvsum = _take(wv1, new_hi) - _take(wv1, new_lo)
-            final_val = wvsum / jnp.maximum(wsum, 1e-30)
+            # If a pixel's set emptied entirely (only possible through float
+            # rounding of the clip bounds; the reference would compute 0/0
+            # NaN here, stack.go:813-818), fall back to the pre-removal set.
+            wsum_pre = _take(w1, hi) - _take(w1, lo)
+            wvsum_pre = _take(wv1, hi) - _take(wv1, lo)
+            final_val = jnp.where(
+                new_cnt > 0,
+                wvsum / jnp.maximum(wsum, 1e-30),
+                wvsum_pre / jnp.maximum(wsum_pre, 1e-30))
         result = jnp.where(stop, final_val, result)
 
         clip_lo = clip_lo + jnp.sum(below)

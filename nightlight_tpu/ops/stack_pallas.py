@@ -1,0 +1,317 @@
+"""Pallas TPU kernel for sigma-clip / winsorized stacking.
+
+The XLA path (ops/stack.py) re-materializes the (frames x pixels) block in
+HBM on every clip iteration. This kernel keeps one (frames x TILE) block
+resident in VMEM for the whole per-pixel iteration:
+
+* grid over pixel tiles; each step DMAs its (N_pad, TILE) block once
+* the frame axis is sorted with an UNROLLED BITONIC NETWORK of vector
+  min/max on (TILE,)-lane rows -- the VPU analog of the reference's
+  per-pixel quickselect (stack.go:404), with NaNs pushed to the end
+* the clip loop runs as a lax.while_loop whose body is pure row-wise
+  masked reductions (sum/median-select/count) over the VMEM block --
+  no HBM traffic until the final tile store
+* per-pixel state (range bounds, running mask, result) lives in vector
+  registers; clip totals accumulate per tile and are summed by the caller
+
+Semantics are identical to ops.stack.stack_sigma / stack_winsor_sigma
+(which mirror stack.go:372-436, 611-705); tests cross-validate the two
+paths bit-for-acceptable-float-difference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+TILE = 2048  # lanes per grid step; multiple of 128
+
+# Interpreter mode for CPU-only environments (tests); the compiled Mosaic
+# path requires real TPU hardware.
+import os as _os
+
+INTERPRET = _os.environ.get("NIGHTLIGHT_PALLAS_INTERPRET", "") == "1"
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _bitonic_rows(rows: list):
+    """Sort a list of (TILE,)-shaped rows ascending with a static bitonic
+    network. Returns the sorted list. O(n/2 * log^2 n) vector min/max ops."""
+    n = len(rows)
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j > 0:
+            for i in range(n):
+                l = i ^ j
+                if l > i:
+                    up = (i & k) == 0
+                    a, b = rows[i], rows[l]
+                    lo = jnp.minimum(a, b)
+                    hi = jnp.maximum(a, b)
+                    rows[i], rows[l] = (lo, hi) if up else (hi, lo)
+            j //= 2
+        k *= 2
+    return rows
+
+
+def _bitonic_rows_kv(keys: list, vals: list):
+    """Key-value bitonic sort: vals follow the key comparisons (used to keep
+    per-frame weights aligned with their sorted samples)."""
+    n = len(keys)
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j > 0:
+            for i in range(n):
+                l = i ^ j
+                if l > i:
+                    up = (i & k) == 0
+                    swap = keys[i] > keys[l] if up else keys[i] < keys[l]
+                    ki = jnp.where(swap, keys[l], keys[i])
+                    kl = jnp.where(swap, keys[i], keys[l])
+                    vi = jnp.where(swap, vals[l], vals[i])
+                    vl = jnp.where(swap, vals[i], vals[l])
+                    keys[i], keys[l] = ki, kl
+                    vals[i], vals[l] = vi, vl
+            j //= 2
+        k *= 2
+    return keys, vals
+
+
+def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
+    def kernel(*refs):
+        if weighted:
+            frames_ref, w_ref, params_ref, out_ref, clip_ref = refs
+        else:
+            frames_ref, params_ref, out_ref, clip_ref = refs
+        sigma_low = params_ref[0]
+        sigma_high = params_ref[1]
+        ref_loc = params_ref[2]
+
+        # Load rows; invalid (NaN) and padding rows sort to the end as +BIG.
+        rows = []
+        valid_rows = []
+        for i in range(n_pad):
+            if i < n_frames:
+                r = frames_ref[i, :]
+                ok = r == r  # not NaN
+                rows.append(jnp.where(ok, r, _BIG))
+                valid_rows.append(ok)
+            else:
+                rows.append(jnp.full((TILE,), _BIG, jnp.float32))
+        cnt0 = valid_rows[0].astype(jnp.int32)
+        for vr in valid_rows[1:]:
+            cnt0 = cnt0 + vr.astype(jnp.int32)
+
+        if weighted:
+            wrows = []
+            for i in range(n_pad):
+                if i < n_frames:
+                    wrows.append(jnp.where(valid_rows[i], w_ref[i, 0] * jnp.ones((TILE,), jnp.float32), 0.0))
+                else:
+                    wrows.append(jnp.zeros((TILE,), jnp.float32))
+            srows_l, swrows_l = _bitonic_rows_kv(rows, wrows)
+            svals = jnp.stack(srows_l)          # (n_pad, TILE)
+            sweights = jnp.stack(swrows_l)
+        else:
+            svals = jnp.stack(_bitonic_rows(rows))
+            sweights = None
+
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TILE), 0)
+
+        # Center by the per-pixel median (robust to outliers) so the float32
+        # sums of squares in the clip loop don't cancel catastrophically.
+        c1 = jnp.maximum(cnt0, 1)
+        med_up = jnp.sum(jnp.where(row_idx == (c1 // 2)[None, :],
+                                   jnp.where(svals >= _BIG, 0.0, svals), 0.0), axis=0)
+        med_lo_i = jnp.maximum(c1 // 2 - 1, 0)
+        med_lo = jnp.sum(jnp.where(row_idx == med_lo_i[None, :],
+                                   jnp.where(svals >= _BIG, 0.0, svals), 0.0), axis=0)
+        center = jnp.where(c1 % 2 == 1, med_up, 0.5 * (med_lo + med_up))
+        center = jnp.where(cnt0 > 0, center, 0.0)
+        svals = jnp.where(svals < _BIG, svals - center[None, :], svals)
+
+        zero_rows = jnp.where(svals >= _BIG, 0.0, svals)  # padded entries -> 0
+
+        def range_mask(lo, hi):
+            return (row_idx >= lo[None, :]) & (row_idx < hi[None, :])
+
+        def sum_range(lo, hi):
+            return jnp.sum(jnp.where(range_mask(lo, hi), zero_rows, 0.0), axis=0)
+
+        def sumsq_range(lo, hi):
+            return jnp.sum(jnp.where(range_mask(lo, hi), zero_rows * zero_rows, 0.0), axis=0)
+
+        def select_at(idx):
+            """svals[idx[lane], lane] via masked sum (no per-lane gather)."""
+            return jnp.sum(jnp.where(row_idx == idx[None, :], zero_rows, 0.0), axis=0)
+
+        def median_range(lo, cnt):
+            c1 = jnp.maximum(cnt, 1)
+            upper = select_at(lo + c1 // 2)
+            lower = select_at(lo + jnp.maximum(c1 // 2 - 1, 0))
+            return jnp.where(c1 % 2 == 1, upper, 0.5 * (lower + upper))
+
+        def count_pred(lo, hi, bound, below: bool):
+            m = range_mask(lo, hi)
+            if below:
+                p = svals < bound[None, :]
+            else:
+                p = (svals > bound[None, :]) & (svals < _BIG)
+            return jnp.sum((m & p).astype(jnp.int32), axis=0)
+
+        def winsor_std(lo, hi, median, std0):
+            c = jnp.maximum(hi - lo, 1).astype(jnp.float32)
+
+            def wbody(state):
+                std, done, it = state
+                wlo = median - 1.5 * std
+                whi = median + 1.5 * std
+                m = range_mask(lo, hi)
+                clamped = jnp.clip(zero_rows, wlo[None, :], whi[None, :])
+                wsum = jnp.sum(jnp.where(m, clamped, 0.0), axis=0)
+                wsq = jnp.sum(jnp.where(m, clamped * clamped, 0.0), axis=0)
+                changed = jnp.sum(
+                    (m & ((svals < wlo[None, :]) | ((svals > whi[None, :]) & (svals < _BIG)))).astype(jnp.int32),
+                    axis=0)
+                mean = wsum / c
+                var = wsq / c - mean * mean
+                new_std = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
+                factor = jnp.abs(new_std - std) / jnp.maximum(std, 1e-30)
+                new_done = done | (changed == 0) | (factor <= 0.0005)
+                return new_std, new_done, it + 1
+
+            def wcond(state):
+                _, done, it = state
+                return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < 32)
+
+            std, _, _ = jax.lax.while_loop(
+                wcond, wbody, (std0, jnp.zeros((TILE,), jnp.bool_), 0))
+            return std
+
+        def body(state):
+            lo, hi, running, result, clo, chi, it = state
+            cnt = hi - lo
+            cf = jnp.maximum(cnt, 1).astype(jnp.float32)
+            median = median_range(lo, cnt)
+            mean = sum_range(lo, hi) / cf
+            var = sumsq_range(lo, hi) / cf - mean * mean
+            std = jnp.sqrt(jnp.maximum(var, 0.0))
+            if winsorize:
+                std = winsor_std(lo, hi, median, std)
+            low_b = median - sigma_low * std
+            high_b = median + sigma_high * std
+
+            below = jnp.where(running, count_pred(lo, hi, low_b, True), 0)
+            above = jnp.where(running, count_pred(lo, hi, high_b, False), 0)
+            new_lo = lo + below
+            new_hi = hi - above
+            new_cnt = new_hi - new_lo
+
+            stop = running & ((below + above == 0) | (new_cnt <= 1))
+            if weighted:
+                m = range_mask(new_lo, new_hi)
+                wsum = jnp.sum(jnp.where(m, sweights, 0.0), axis=0)
+                wvsum = jnp.sum(jnp.where(m, sweights * zero_rows, 0.0), axis=0)
+                # pre-removal fallback for the (rounding-only) empty-set case
+                m_pre = range_mask(lo, hi)
+                wsum_pre = jnp.sum(jnp.where(m_pre, sweights, 0.0), axis=0)
+                wvsum_pre = jnp.sum(jnp.where(m_pre, sweights * zero_rows, 0.0), axis=0)
+                final_val = jnp.where(
+                    new_cnt > 0,
+                    wvsum / jnp.maximum(wsum, 1e-30),
+                    wvsum_pre / jnp.maximum(wsum_pre, 1e-30))
+            else:
+                final_val = mean
+            result = jnp.where(stop, final_val, result)
+            clo = clo + jnp.sum(below)
+            chi = chi + jnp.sum(above)
+            return new_lo, new_hi, running & ~stop, result, clo, chi, it + 1
+
+        def cond(state):
+            _, _, running, _, _, _, it = state
+            return jnp.logical_and(jnp.any(running), it < n_frames + 1)
+
+        lo0 = jnp.zeros((TILE,), jnp.int32)
+        hi0 = cnt0
+        running0 = cnt0 > 0
+        result0 = jnp.zeros((TILE,), jnp.float32)
+        state = (lo0, hi0, running0, result0, jnp.int32(0), jnp.int32(0), 0)
+        _, _, _, result, clo, chi, _ = jax.lax.while_loop(cond, body, state)
+
+        out_ref[0, :] = jnp.where(cnt0 > 0, result + center, ref_loc)
+        clip_ref[0, 0] = clo
+        clip_ref[0, 1] = chi
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("winsorize",))
+def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
+                       winsorize: bool):
+    n, p = frames2d.shape
+    n_pad = max(_next_pow2(n), 8)
+    if n_pad > n:
+        frames2d = jnp.pad(frames2d, ((0, n_pad - n), (0, 0)), constant_values=jnp.nan)
+    n_tiles = p // TILE
+
+    weighted = weights is not None
+    in_specs = [
+        pl.BlockSpec((n_pad, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+    ]
+    inputs = [frames2d]
+    if weighted:
+        in_specs.append(pl.BlockSpec((n_pad, 1), lambda t: (0, 0), memory_space=pltpu.VMEM))
+        w2d = jnp.pad(weights.reshape(n, 1), ((0, n_pad - n), (0, 0)))
+        inputs.append(w2d)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(params)
+
+    out, clips = pl.pallas_call(
+        _make_kernel(n_pad, n, winsorize, weighted),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda t: (t, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32),
+        ],
+        interpret=INTERPRET,
+    )(*inputs)
+    return out[0], jnp.sum(clips[:, 0]), jnp.sum(clips[:, 1])
+
+
+def stack_sigma_pallas(frames: jax.Array, ref_frame_loc: float,
+                       sigma_low: float, sigma_high: float,
+                       weights=None, winsorize: bool = False):
+    """Sigma-clip (or winsorized) stack via the Pallas kernel.
+
+    frames: (N, ...) with NaN as missing. Returns (stacked, clip_lo, clip_hi).
+    Pixels are padded to the tile size with NaN and cropped after.
+    """
+    shape = frames.shape[1:]
+    flat = frames.reshape(frames.shape[0], -1)
+    p = flat.shape[1]
+    p_pad = ((p + TILE - 1) // TILE) * TILE
+    if p_pad > p:
+        flat = jnp.pad(flat, ((0, 0), (0, p_pad - p)), constant_values=jnp.nan)
+    params = jnp.asarray(
+        [sigma_low, sigma_high, ref_frame_loc], jnp.float32)
+    out, clo, chi = _stack_clip_pallas(flat, params, weights, winsorize)
+    return out[:p].reshape(shape), clo, chi

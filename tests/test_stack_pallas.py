@@ -1,0 +1,65 @@
+"""Pallas stacking kernel vs the XLA reference path (interpret mode on CPU;
+the compiled Mosaic path is exercised on real TPU by bench.py)."""
+
+import os
+
+os.environ["NIGHTLIGHT_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import nightlight_tpu.ops.stack_pallas as sp
+
+sp.INTERPRET = True
+
+from nightlight_tpu.ops import stack as stk
+from nightlight_tpu.ops.stack_pallas import stack_sigma_pallas
+
+
+def frames_with_nans(rng, n=12, p=3000):
+    f = rng.normal(1000.0, 10.0, size=(n, p)).astype(np.float32)
+    f[rng.uniform(size=(n, p)) < 0.1] = np.nan
+    f[rng.uniform(size=(n, p)) < 0.05] += 2000.0
+    f[:, 0] = np.nan
+    return f
+
+
+class TestPallasVsXLA:
+    def test_sigma_matches(self, rng):
+        f = frames_with_nans(rng)
+        ref, cl, ch = stk.stack(jnp.asarray(f), stk.StackMode.Sigma,
+                                sigma_low=2.0, sigma_high=2.0, ref_frame_loc=7.0)
+        out, pcl, pch = stack_sigma_pallas(jnp.asarray(f), 7.0, 2.0, 2.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
+        assert int(pcl) == int(cl)
+        assert int(pch) == int(ch)
+
+    def test_winsor_matches(self, rng):
+        f = frames_with_nans(rng, n=16)
+        ref, _, _ = stk.stack(jnp.asarray(f), stk.StackMode.WinsorSigma,
+                              sigma_low=2.5, sigma_high=2.5, ref_frame_loc=7.0)
+        out, _, _ = stack_sigma_pallas(jnp.asarray(f), 7.0, 2.5, 2.5, winsorize=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
+
+    def test_weighted_matches(self, rng):
+        f = frames_with_nans(rng)
+        w = rng.uniform(0.5, 2.0, size=f.shape[0]).astype(np.float32)
+        ref, _, _ = stk.stack(jnp.asarray(f), stk.StackMode.Sigma, weights=jnp.asarray(w),
+                              sigma_low=2.0, sigma_high=2.0, ref_frame_loc=7.0)
+        out, _, _ = stack_sigma_pallas(jnp.asarray(f), 7.0, 2.0, 2.0, weights=jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
+
+    def test_all_nan_pixel_gets_ref_loc(self, rng):
+        f = frames_with_nans(rng)
+        out, _, _ = stack_sigma_pallas(jnp.asarray(f), 42.5, 2.0, 2.0)
+        assert float(np.asarray(out)[0]) == pytest.approx(42.5)
+
+    def test_non_tile_multiple_pixel_count(self, rng):
+        # pixel count not a multiple of TILE exercises the NaN padding path
+        f = rng.normal(100.0, 3.0, size=(8, 777)).astype(np.float32)
+        ref, _, _ = stk.stack(jnp.asarray(f), stk.StackMode.Sigma,
+                              sigma_low=2.75, sigma_high=2.75)
+        out, _, _ = stack_sigma_pallas(jnp.asarray(f), 0.0, 2.75, 2.75)
+        assert out.shape == (777,)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
