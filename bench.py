@@ -50,7 +50,7 @@ def main() -> None:
     flat = jnp.ones((chunk_rows, w), jnp.float32)
     ones = jnp.ones(n_frames, jnp.float32)
 
-    step = jax.jit(partial(_pipeline_step, mode=int(StackMode.Sigma)))
+    step = jax.jit(partial(_pipeline_step, mode=int(StackMode.Sigma), use_pallas=True))
 
     def run_chunk(i):
         chunk = base + jnp.float32(i) * 0.001  # unique data per chunk

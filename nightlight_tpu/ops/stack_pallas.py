@@ -115,6 +115,7 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
         cnt0 = valid_rows[0].astype(jnp.int32)
         for vr in valid_rows[1:]:
             cnt0 = cnt0 + vr.astype(jnp.int32)
+        cnt0 = cnt0[None, :]  # (1, TILE): Mosaic loop carries must be 2D
 
         if weighted:
             wrows = []
@@ -135,29 +136,32 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
         # Center by the per-pixel median (robust to outliers) so the float32
         # sums of squares in the clip loop don't cancel catastrophically.
         c1 = jnp.maximum(cnt0, 1)
-        med_up = jnp.sum(jnp.where(row_idx == (c1 // 2)[None, :],
-                                   jnp.where(svals >= _BIG, 0.0, svals), 0.0), axis=0)
+        med_up = jnp.sum(jnp.where(row_idx == c1 // 2,
+                                   jnp.where(svals >= _BIG, 0.0, svals), 0.0),
+                         axis=0, keepdims=True)
         med_lo_i = jnp.maximum(c1 // 2 - 1, 0)
-        med_lo = jnp.sum(jnp.where(row_idx == med_lo_i[None, :],
-                                   jnp.where(svals >= _BIG, 0.0, svals), 0.0), axis=0)
+        med_lo = jnp.sum(jnp.where(row_idx == med_lo_i,
+                                   jnp.where(svals >= _BIG, 0.0, svals), 0.0),
+                         axis=0, keepdims=True)
         center = jnp.where(c1 % 2 == 1, med_up, 0.5 * (med_lo + med_up))
         center = jnp.where(cnt0 > 0, center, 0.0)
-        svals = jnp.where(svals < _BIG, svals - center[None, :], svals)
+        svals = jnp.where(svals < _BIG, svals - center, svals)
 
         zero_rows = jnp.where(svals >= _BIG, 0.0, svals)  # padded entries -> 0
 
         def range_mask(lo, hi):
-            return (row_idx >= lo[None, :]) & (row_idx < hi[None, :])
+            return (row_idx >= lo) & (row_idx < hi)
 
         def sum_range(lo, hi):
-            return jnp.sum(jnp.where(range_mask(lo, hi), zero_rows, 0.0), axis=0)
+            return jnp.sum(jnp.where(range_mask(lo, hi), zero_rows, 0.0), axis=0, keepdims=True)
 
         def sumsq_range(lo, hi):
-            return jnp.sum(jnp.where(range_mask(lo, hi), zero_rows * zero_rows, 0.0), axis=0)
+            return jnp.sum(jnp.where(range_mask(lo, hi), zero_rows * zero_rows, 0.0),
+                           axis=0, keepdims=True)
 
         def select_at(idx):
             """svals[idx[lane], lane] via masked sum (no per-lane gather)."""
-            return jnp.sum(jnp.where(row_idx == idx[None, :], zero_rows, 0.0), axis=0)
+            return jnp.sum(jnp.where(row_idx == idx, zero_rows, 0.0), axis=0, keepdims=True)
 
         def median_range(lo, cnt):
             c1 = jnp.maximum(cnt, 1)
@@ -168,42 +172,44 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
         def count_pred(lo, hi, bound, below: bool):
             m = range_mask(lo, hi)
             if below:
-                p = svals < bound[None, :]
+                p = svals < bound
             else:
-                p = (svals > bound[None, :]) & (svals < _BIG)
-            return jnp.sum((m & p).astype(jnp.int32), axis=0)
+                p = (svals > bound) & (svals < _BIG)
+            return jnp.sum((m & p).astype(jnp.int32), axis=0, keepdims=True)
 
         def winsor_std(lo, hi, median, std0):
             c = jnp.maximum(hi - lo, 1).astype(jnp.float32)
 
             def wbody(state):
-                std, done, it = state
+                std, done_i, it = state
+                done = done_i > 0
                 wlo = median - 1.5 * std
                 whi = median + 1.5 * std
                 m = range_mask(lo, hi)
-                clamped = jnp.clip(zero_rows, wlo[None, :], whi[None, :])
-                wsum = jnp.sum(jnp.where(m, clamped, 0.0), axis=0)
-                wsq = jnp.sum(jnp.where(m, clamped * clamped, 0.0), axis=0)
+                clamped = jnp.clip(zero_rows, wlo, whi)
+                wsum = jnp.sum(jnp.where(m, clamped, 0.0), axis=0, keepdims=True)
+                wsq = jnp.sum(jnp.where(m, clamped * clamped, 0.0), axis=0, keepdims=True)
                 changed = jnp.sum(
-                    (m & ((svals < wlo[None, :]) | ((svals > whi[None, :]) & (svals < _BIG)))).astype(jnp.int32),
-                    axis=0)
+                    (m & ((svals < wlo) | ((svals > whi) & (svals < _BIG)))).astype(jnp.int32),
+                    axis=0, keepdims=True)
                 mean = wsum / c
                 var = wsq / c - mean * mean
                 new_std = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
                 factor = jnp.abs(new_std - std) / jnp.maximum(std, 1e-30)
                 new_done = done | (changed == 0) | (factor <= 0.0005)
-                return new_std, new_done, it + 1
+                return new_std, new_done.astype(jnp.int32), it + 1
 
             def wcond(state):
-                _, done, it = state
-                return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < 32)
+                _, done_i, it = state
+                return jnp.logical_and(jnp.logical_not(jnp.all(done_i > 0)), it < 32)
 
             std, _, _ = jax.lax.while_loop(
-                wcond, wbody, (std0, jnp.zeros((TILE,), jnp.bool_), 0))
+                wcond, wbody, (std0, jnp.zeros((1, TILE), jnp.int32), 0))
             return std
 
         def body(state):
-            lo, hi, running, result, clo, chi, it = state
+            lo, hi, running_i, result, clo, chi, it = state
+            running = running_i > 0
             cnt = hi - lo
             cf = jnp.maximum(cnt, 1).astype(jnp.float32)
             median = median_range(lo, cnt)
@@ -224,12 +230,12 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
             stop = running & ((below + above == 0) | (new_cnt <= 1))
             if weighted:
                 m = range_mask(new_lo, new_hi)
-                wsum = jnp.sum(jnp.where(m, sweights, 0.0), axis=0)
-                wvsum = jnp.sum(jnp.where(m, sweights * zero_rows, 0.0), axis=0)
+                wsum = jnp.sum(jnp.where(m, sweights, 0.0), axis=0, keepdims=True)
+                wvsum = jnp.sum(jnp.where(m, sweights * zero_rows, 0.0), axis=0, keepdims=True)
                 # pre-removal fallback for the (rounding-only) empty-set case
                 m_pre = range_mask(lo, hi)
-                wsum_pre = jnp.sum(jnp.where(m_pre, sweights, 0.0), axis=0)
-                wvsum_pre = jnp.sum(jnp.where(m_pre, sweights * zero_rows, 0.0), axis=0)
+                wsum_pre = jnp.sum(jnp.where(m_pre, sweights, 0.0), axis=0, keepdims=True)
+                wvsum_pre = jnp.sum(jnp.where(m_pre, sweights * zero_rows, 0.0), axis=0, keepdims=True)
                 final_val = jnp.where(
                     new_cnt > 0,
                     wvsum / jnp.maximum(wsum, 1e-30),
@@ -239,22 +245,24 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
             result = jnp.where(stop, final_val, result)
             clo = clo + jnp.sum(below)
             chi = chi + jnp.sum(above)
-            return new_lo, new_hi, running & ~stop, result, clo, chi, it + 1
+            return (new_lo, new_hi, (running & ~stop).astype(jnp.int32), result,
+                    clo, chi, it + 1)
 
         def cond(state):
-            _, _, running, _, _, _, it = state
-            return jnp.logical_and(jnp.any(running), it < n_frames + 1)
+            _, _, running_i, _, _, _, it = state
+            return jnp.logical_and(jnp.any(running_i > 0), it < n_frames + 1)
 
-        lo0 = jnp.zeros((TILE,), jnp.int32)
+        lo0 = jnp.zeros((1, TILE), jnp.int32)
         hi0 = cnt0
-        running0 = cnt0 > 0
-        result0 = jnp.zeros((TILE,), jnp.float32)
+        running0 = (cnt0 > 0).astype(jnp.int32)
+        result0 = jnp.zeros((1, TILE), jnp.float32)
         state = (lo0, hi0, running0, result0, jnp.int32(0), jnp.int32(0), 0)
         _, _, _, result, clo, chi, _ = jax.lax.while_loop(cond, body, state)
 
-        out_ref[0, :] = jnp.where(cnt0 > 0, result + center, ref_loc)
-        clip_ref[0, 0] = clo
-        clip_ref[0, 1] = chi
+        out_ref[0, :] = jnp.where(cnt0 > 0, result + center, ref_loc)[0, :]
+        t = pl.program_id(0)
+        clip_ref[t, 0] = clo
+        clip_ref[t, 1] = chi
 
     return kernel
 
@@ -286,7 +294,8 @@ def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            # whole-array SMEM block: per-tile counts written at program_id
+            pl.BlockSpec((n_tiles, 2), lambda t: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, p), jnp.float32),

@@ -45,7 +45,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def _pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
-                   loc0, scale0, sigma_low, sigma_high, mode: int):
+                   loc0, scale0, sigma_low, sigma_high, mode: int,
+                   use_pallas: bool = False):
     """One fused training-step analog: calibrate every frame, match
     histograms to the reference, and reduce the frame axis with the
     configured outlier-rejection stack. All math is per-pixel independent,
@@ -59,9 +60,13 @@ def _pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
     off = (ref_locs - loc0 * (ref_scales / scale0))[:, None, None]
     matched = cal * mult + off
     # stacking reduction over the frame axis
+    # use_pallas=False by default: a pallas_call cannot be auto-partitioned
+    # under the mesh sharding annotations; bench passes True for the
+    # single-chip fast path.
     stacked, clip_lo, clip_hi = stk.stack(
         matched, stk.StackMode(mode), weights=weights,
-        sigma_low=sigma_low, sigma_high=sigma_high, ref_frame_loc=loc0)
+        sigma_low=sigma_low, sigma_high=sigma_high, ref_frame_loc=loc0,
+        use_pallas=use_pallas)
     return stacked, clip_lo, clip_hi
 
 
