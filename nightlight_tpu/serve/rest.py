@@ -69,6 +69,16 @@ class Handler(BaseHTTPRequestHandler):
         path = self.path.split("?", 1)[0]
         if path in ("/", "/index.html"):
             self._serve_static("index.html", "text/html")
+        elif path == "/api/v1/schema":
+            from nightlight_tpu.serve.schema import operator_schema
+
+            body = json.dumps(operator_schema()).encode()
+            self.send_response(200)
+            self._cors()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif path == "/api/v1/ping":
             body = json.dumps({"message": "pong"}).encode()
             self.send_response(200)
@@ -161,10 +171,23 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
 
+def _warm_backend() -> None:
+    """Initialize the jax backend on the calling (main) thread: lazy backend
+    init inside a request handler daemon thread can deadlock device
+    transfers."""
+    try:
+        import jax.numpy as jnp
+
+        jnp.zeros(1).block_until_ready()
+    except Exception:  # noqa: BLE001 - serving static content still works
+        pass
+
+
 def serve(port: int, st_memory: int) -> None:
     """Start the REST server (serve.go:36-62)."""
     global _st_memory
     _st_memory = st_memory
+    _warm_backend()
     httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     print(f"Serving on :{port}")
     httpd.serve_forever()

@@ -1,0 +1,84 @@
+"""REST server black-box tests, modeled on the reference's test/Makefile
+harness (curl a JSON job, diff the streamed log)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nightlight_tpu.image import Image
+from nightlight_tpu.io import fits as nlfits
+from nightlight_tpu.serve.rest import make_server
+
+
+@pytest.fixture
+def server(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    # Initialize the jax backend on the main thread before handler threads
+    # touch the device: lazy init inside a daemon thread can deadlock.
+    jnp.zeros(1).block_until_ready()
+    srv = make_server(0, 1024)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", tmp_path
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, resp.read().decode()
+
+
+class TestREST:
+    def test_ping(self, server):
+        url, _ = server
+        with urllib.request.urlopen(url + "/api/v1/ping") as resp:
+            assert json.loads(resp.read()) == {"message": "pong"}
+
+    def test_schema_covers_registry(self, server):
+        url, _ = server
+        with urllib.request.urlopen(url + "/api/v1/schema") as resp:
+            schema = json.loads(resp.read())
+        from nightlight_tpu.pipeline.operators import _operator_factories
+
+        assert set(schema["operators"]) == set(_operator_factories)
+        categorized = {t for types in schema["categories"].values() for t in types}
+        assert categorized == set(_operator_factories)
+
+    def test_job_streams_log(self, server, rng):
+        url, tmp_path = server
+        img = Image.from_naxisn([64, 64], rng.normal(50, 2, size=(64, 64)).astype(np.float32))
+        nlfits.write_file(img, str(tmp_path / "a.fits"))
+        job = {"type": "seq", "steps": [
+            {"type": "loadMany", "filePatterns": ["a.fits"]},
+            {"type": "save", "filePattern": "b.fits"},
+        ]}
+        status, body = _post(url + "/api/v1/job", job)
+        assert status == 200
+        assert "Found 1 files." in body
+        assert "Writing 64x64 pixel FITS to b.fits" in body
+        assert (tmp_path / "b.fits").exists()
+
+    def test_job_error_streams_error(self, server):
+        url, _ = server
+        job = {"type": "seq", "steps": [{"type": "loadMany", "filePatterns": ["zz*.fits"]}]}
+        status, body = _post(url + "/api/v1/job", job)
+        assert status == 200  # log-stream contract: errors arrive in the body
+        assert "Error" in body
+
+    def test_malformed_json_400(self, server):
+        url, _ = server
+        req = urllib.request.Request(url + "/api/v1/job", data=b"{broken", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+    def test_index_served(self, server):
+        url, _ = server
+        with urllib.request.urlopen(url + "/") as resp:
+            assert b"visual job editor" in resp.read()
