@@ -1,0 +1,32 @@
+# Build/automation layer (the reference drives everything through Makefiles,
+# Makefile:1-67 and the examples workflow in README.md:70-103).
+
+PY ?= python
+
+.PHONY: all tests test bench native clean serve dryrun
+
+all: native tests
+
+# unit + integration tests on the virtual 8-device CPU mesh
+tests test:
+	$(PY) -m pytest tests/ -x -q
+
+# headline benchmark on the available accelerator (one JSON line)
+bench:
+	$(PY) bench.py
+
+# build the native C FITS codec explicitly (also built lazily on first use)
+native:
+	$(PY) -c "from nightlight_tpu.native import fitsio; print('native codec:', 'ok' if fitsio._load() else 'unavailable (numpy fallback)')"
+
+# multi-chip dry run on an 8-device virtual CPU mesh
+dryrun:
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
+
+serve:
+	$(PY) -m nightlight_tpu.cli serve
+
+clean:
+	rm -f nightlight_tpu/native/_fitsio.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

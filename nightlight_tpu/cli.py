@@ -33,7 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("files", nargs="*", default=[])
 
     a("-port", type=int, default=8080, help="port for serving HTTP API")
+    a("-chroot", default="", help="directory to chroot and chdir to when serving HTTP. must be run as root")
+    a("-setuid", type=int, default=-1, help="user id number to setuid to when serving HTTP. must be run as root")
     a("-job", default="", help="JSON job specification to run")
+    a("-trace", default="", help="write a JAX profiler trace of the run to this directory"
+      " (the TPU analog of the reference's -cpuprofile/-memprofile)")
 
     a("-out", default="out.fits", help="save output to file")
     a("-jpg", default="%auto", help="save 8bit preview of output as JPEG")
@@ -413,10 +417,22 @@ def main(argv=None) -> int:
 
     stats_mod.DEFAULT_LS_ESTIMATOR = LSEstimatorMode(args.lsEst)
 
+    trace_ctx = None
+    if args.trace:
+        import contextlib
+
+        import jax
+
+        trace_ctx = jax.profiler.trace(args.trace)
+
     try:
+        if trace_ctx is not None:
+            trace_ctx.__enter__()
         if cmd == "serve":
             from nightlight_tpu.serve.rest import serve
+            from nightlight_tpu.serve.sandbox import make_sandbox
 
+            make_sandbox(args.chroot, args.setuid, log_writer)
             serve(args.port, args.stMemory)
         elif cmd in ("stats", "stack", "stretch", "rgb"):
             run_op(build_command_seq(args), c)
@@ -440,6 +456,8 @@ def main(argv=None) -> int:
         log_writer.write(f"Error: {e}\n")
         return -1
     finally:
+        if trace_ctx is not None:
+            trace_ctx.__exit__(None, None, None)
         if log_file is not None:
             log_file.flush()
 
