@@ -263,12 +263,11 @@ def build_command_seq(args):
                 OpMatchHistogram(mode=args.normHist),
                 OpAlign(k=args.alignK, threshold=args.alignT, oob_mode=int(OutOfBoundsMode.NaN)),
                 OpSave(file_pattern=args.post, export_mode=int(ExportMode.MinMax), gamma=1),
-                # -1 means "auto" in the reference flags; its goal-seek sigma
-                # search is dead code there (stackfindsigma.go), so resolve to
-                # the operator default of 2.75 here.
+                # negative sigma = goal-seek sigma bounds from target clip
+                # percentages (documented behavior of -stSigLow/-stSigHigh=-1;
+                # dead code in the reference, live in ops/findsigma.py)
                 OpStack(mode=args.stMode, weighting=args.stWeight,
-                        sigma_low=args.stSigLow if args.stSigLow >= 0 else 2.75,
-                        sigma_high=args.stSigHigh if args.stSigHigh >= 0 else 2.75),
+                        sigma_low=args.stSigLow, sigma_high=args.stSigHigh),
                 op_star_detect,
                 OpSave(file_pattern=args.batch, export_mode=int(ExportMode.MinMax), gamma=1),
             ])),

@@ -282,6 +282,45 @@ def xyy_to_linrgb(xyy: jax.Array) -> jax.Array:
     return srgb_uncompand(srgb)
 
 
+@jax.jit
+def linrgb_to_ciehsl(rgb: jax.Array) -> jax.Array:
+    """Linear RGB -> CIE "HSL": HCL with saturation s = c/sqrt(c^2+l^2)
+    (pixelops.go:295-313)."""
+    hcl = linrgb_to_hcl(rgb)
+    h, c, l = hcl[0], hcl[1], hcl[2]
+    s = c / jnp.sqrt(c * c + l * l + 1e-30)
+    return jnp.stack([h, s, l])
+
+
+@jax.jit
+def ciehsl_to_linrgb(hsl: jax.Array) -> jax.Array:
+    """CIE HSL -> linear RGB: c = l*s/sqrt(1-s^2), then HCL->RGB with sRGB
+    clamp (pixelops.go:319-337)."""
+    h, s, l = hsl[0], hsl[1], hsl[2]
+    c = l * s / jnp.sqrt(jnp.maximum(1.0 - s * s, 1e-30))
+    return hcl_to_linrgb(jnp.stack([h, c, l]))
+
+
+@jax.jit
+def mono_to_hcl_lum(data: jax.Array) -> jax.Array:
+    """Gray value -> HCL (Lab) luminance (pixelops.go:260-271): for gray
+    pixels this is the CIE L* curve in [0,1]."""
+    y = jnp.clip(data, 0.0, None)
+    return 1.16 * _lab_f(y) - 0.16
+
+
+@jax.jit
+def offset_rgb(cube: jax.Array, offsets: jax.Array) -> jax.Array:
+    """Per-channel additive offset (pixelops.go:615-628)."""
+    return cube + offsets[:, None, None]
+
+
+@jax.jit
+def scale_rgb(cube: jax.Array, scales: jax.Array) -> jax.Array:
+    """Per-channel multiplicative scale, clamped to <=1 (pixelops.go:632-645)."""
+    return jnp.minimum(cube * scales[:, None, None], 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Chroma / hue / SCNR kernels on channel cubes
 # ---------------------------------------------------------------------------

@@ -25,6 +25,11 @@ class OpStack(Operator):
         "weighting": ("weighting", int(stk.StackWeighting.NoWeight)),
         "sigma_low": ("sigmaLow", 2.75),
         "sigma_high": ("sigmaHigh", 2.75),
+        # Goal-seek targets used when a sigma is negative ("-1: use clipping
+        # percentage to find", main.go:112-113 -- dead code in the reference,
+        # live here).
+        "clip_perc_low": ("clipPercLow", 0.5),
+        "clip_perc_high": ("clipPercHigh", 0.5),
     }
 
     def __init__(self, **kwargs):
@@ -53,10 +58,18 @@ class OpStack(Operator):
         weights = stk.get_weights(fs, stk.StackWeighting(self.weighting))
 
         frames = jnp.stack([f.data for f in fs])
-        data, clip_lo, clip_hi = stk.stack(
-            frames, mode, weights=weights,
-            sigma_low=self.sigma_low, sigma_high=self.sigma_high,
-            ref_frame_loc=self.ref_frame_loc)
+        if self.sigma_low < 0 or self.sigma_high < 0:
+            from nightlight_tpu.ops.findsigma import find_sigmas_and_stack
+
+            data, clip_lo, clip_hi, sig_lo, sig_hi = find_sigmas_and_stack(
+                frames, mode, weights=weights, ref_frame_loc=self.ref_frame_loc,
+                clip_perc_low=self.clip_perc_low, clip_perc_high=self.clip_perc_high,
+                log=c.log)
+        else:
+            data, clip_lo, clip_hi = stk.stack(
+                frames, mode, weights=weights,
+                sigma_low=self.sigma_low, sigma_high=self.sigma_high,
+                ref_frame_loc=self.ref_frame_loc)
 
         if mode >= stk.StackMode.Sigma:
             total = len(fs) * fs[0].pixels
