@@ -58,6 +58,16 @@ class OpStack(Operator):
         weights = stk.get_weights(fs, stk.StackWeighting(self.weighting))
 
         frames = jnp.stack([f.data for f in fs])
+        exposure_sum = sum(f.exposure for f in fs)
+        naxisn0 = list(fs[0].naxisn)
+        ls_mode0 = fs[0].stats.mode if fs[0].stats else None
+        # Free the per-frame device buffers now that they are copied into the
+        # batch array (the reference frees primaries after stacking too,
+        # stackbatches.go:104-111); halves peak HBM for large batches.
+        for f in fs:
+            f.data = None
+            if f.stats is not None:
+                f.stats.free_data()
         if self.sigma_low < 0 or self.sigma_high < 0:
             from nightlight_tpu.ops.findsigma import find_sigmas_and_stack
 
@@ -77,9 +87,8 @@ class OpStack(Operator):
                    int(clip_lo), float(clip_lo) * 100.0 / total,
                    int(clip_hi), float(clip_hi) * 100.0 / total)
 
-        result = Image.from_naxisn(list(fs[0].naxisn), data,
-                                   ls_mode=fs[0].stats.mode if fs[0].stats else None)
-        result.exposure = sum(f.exposure for f in fs)
+        result = Image.from_naxisn(naxisn0, data, ls_mode=ls_mode0)
+        result.exposure = exposure_sum
         return result
 
 
