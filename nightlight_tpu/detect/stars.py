@@ -292,9 +292,14 @@ def find_stars(img, location: float, scale: float, star_sig: float, bp_sig: floa
         jnp.float32(bp_sig), jnp.float32(star_in_out), int(radius),
         jnp.float32(median_diff_std), max_candidates,
     )
-    n = int(num)
+    # One host transfer for all outputs: per-array fetches each pay a full
+    # host<->device round trip on tunneled TPU setups.
+    packed = np.asarray(jnp.stack([
+        x, y, value, mass, hfr,
+        jnp.full(x.shape, num, x.dtype), jnp.full(x.shape, avg_hfr, x.dtype)]))
+    n = int(packed[5, 0])
     stars = StarList(
-        x=np.asarray(x)[:n], y=np.asarray(y)[:n], value=np.asarray(value)[:n],
-        mass=np.asarray(mass)[:n], hfr=np.asarray(hfr)[:n], count=n,
+        x=packed[0, :n], y=packed[1, :n], value=packed[2, :n],
+        mass=packed[3, :n], hfr=packed[4, :n], count=n,
     )
-    return stars, float(avg_hfr)
+    return stars, float(packed[6, 0])

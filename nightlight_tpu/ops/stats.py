@@ -535,10 +535,9 @@ class Stats:
     # -- accessors ----------------------------------------------------------
     def _ensure_mmm(self) -> None:
         if not self._have_mmm:
-            if self._data is None:
-                raise ValueError("cannot calculate stats on freed data")
             mn, me, mx = min_mean_max(self._flat())
-            self._min, self._mean, self._max = float(mn), float(me), float(mx)
+            vals = np.asarray(jnp.stack([mn, me, mx]))  # one device sync
+            self._min, self._mean, self._max = float(vals[0]), float(vals[1]), float(vals[2])
             self._have_mmm = True
 
     @property
@@ -601,9 +600,25 @@ class Stats:
             loc, scale = ikss(self._flat())
             self._location, self._scale = float(loc), float(scale)
         elif mode == LSEstimatorMode.SCMedianQn:
-            eps = (self.max - self.min) / 65535.0
-            loc, scale = sigma_clipped_median_qn(self._flat(), 2.0, 2.0, eps, jax.random.PRNGKey(0))
-            self._location, self._scale = float(loc), float(scale)
+            if not self._have_mmm:
+                # Batch min/mean/max with location/scale: per-scalar fetches
+                # each pay a host<->device round trip, which dominates
+                # per-frame latency on tunneled TPU setups.
+                flat = self._flat()
+                mn, me, mx = min_mean_max(flat)
+                loc, scale = sigma_clipped_median_qn(
+                    flat, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
+                vals = np.asarray(jnp.stack([mn, me, mx, loc, scale]))  # one sync
+                self._min, self._mean, self._max = (
+                    float(vals[0]), float(vals[1]), float(vals[2]))
+                self._location, self._scale = float(vals[3]), float(vals[4])
+                self._have_mmm = True
+            else:
+                eps = (self.max - self.min) / 65535.0
+                loc, scale = sigma_clipped_median_qn(self._flat(), 2.0, 2.0, eps,
+                                                     jax.random.PRNGKey(0))
+                vals = np.asarray(jnp.stack([loc, scale]))
+                self._location, self._scale = float(vals[0]), float(vals[1])
         elif mode == LSEstimatorMode.Histogram:
             loc, scale = histogram_scale_loc(
                 self._flat(), jnp.float32(self.min), jnp.float32(self.max), 4096
