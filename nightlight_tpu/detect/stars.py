@@ -87,19 +87,22 @@ class Star:
     hfr: float
 
 
-def _patch(img: jax.Array, cy: jax.Array, cx: jax.Array, radius: int):
-    """(2r+1)^2 patch around integer center with 2D clamping; returns
-    (patch, in_bounds_mask)."""
+def _patches(img: jax.Array, cys: jax.Array, cxs: jax.Array, radius: int):
+    """(K, 2r+1, 2r+1) patches around integer centers as ONE batched gather.
+
+    Deliberately NOT a vmapped dynamic_slice: jax's batching rule for
+    dynamic_slice under inner control flow broadcasts the full operand per
+    batch element (a 137GB allocation at 16MP x 2048 candidates); advanced
+    indexing lowers to a gather of exactly K*(2r+1)^2 elements. Out-of-frame
+    positions are index-clamped and masked out.
+    """
     h, w = img.shape
     size = 2 * radius + 1
-    y0 = jnp.clip(cy - radius, 0, h - size)
-    x0 = jnp.clip(cx - radius, 0, w - size)
-    patch = jax.lax.dynamic_slice(img, (y0, x0), (size, size))
-    yy = y0 + jnp.arange(size)[:, None]
-    xx = x0 + jnp.arange(size)[None, :]
-    want_y = cy - radius + jnp.arange(size)[:, None]
-    want_x = cx - radius + jnp.arange(size)[None, :]
-    ok = (want_y == yy) & (want_x == xx)
+    offs = jnp.arange(size)
+    yy = cys[:, None, None] + offs[None, :, None] - radius
+    xx = cxs[:, None, None] + offs[None, None, :] - radius
+    ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+    patch = img[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
     return patch, ok
 
 
@@ -137,65 +140,65 @@ def _overlap_filter(x, y, mass, valid, radius: float):
 
 
 def _center_of_mass(img, cy0, cx0, x0, y0, threshold, radius: int):
-    """Iterative CoM refinement for one star (findstars.go:274-322).
+    """Iterative CoM refinement for all stars at once (findstars.go:274-322).
 
-    Returns (cy, cx, x, y, mass, shift) after <=10 rounds of recentering.
+    Operates on (K,) center vectors with batched patch gathers; <=10 rounds
+    of recentering, stars below the 0.01px shift threshold stop updating.
+    Returns (cy, cx, x, y, mass).
     """
     size = 2 * radius + 1
     offs = jnp.arange(size, dtype=jnp.float32) - radius
 
     def round_body(_, state):
         cy, cx, px, py, mass, shift2 = state
+        active = shift2 > 1e-4
+        patch, ok = _patches(img, cy, cx, radius)
+        v = jnp.maximum(jnp.where(ok, patch, 0.0) - threshold, 0.0)
+        v = jnp.where(ok, v, 0.0)
+        m = jnp.sum(v, axis=(1, 2))
+        m = jnp.where(m == 0.0, 1e-8, m)
+        dx = jnp.sum(v * offs[None, None, :], axis=(1, 2)) / m
+        dy = jnp.sum(v * offs[None, :, None], axis=(1, 2)) / m
+        new_x = cx.astype(jnp.float32) + dx
+        new_y = cy.astype(jnp.float32) + dy
+        s2 = (new_x - px) ** 2 + (new_y - py) ** 2
+        new_cy = cy + jnp.round(dy).astype(jnp.int32)
+        new_cx = cx + jnp.round(dx).astype(jnp.int32)
+        return (jnp.where(active, new_cy, cy), jnp.where(active, new_cx, cx),
+                jnp.where(active, new_x, px), jnp.where(active, new_y, py),
+                jnp.where(active, m, mass), jnp.where(active, s2, shift2))
 
-        def do_round(args):
-            cy, cx, px, py, _, _ = args
-            patch, ok = _patch(img, cy, cx, radius)
-            v = jnp.maximum(jnp.where(ok, patch, 0.0) - threshold, 0.0)
-            v = jnp.where(ok, v, 0.0)
-            m = jnp.sum(v)
-            m = jnp.where(m == 0.0, 1e-8, m)
-            dx = jnp.sum(v * offs[None, :]) / m
-            dy = jnp.sum(v * offs[:, None]) / m
-            new_x = cx.astype(jnp.float32) + dx
-            new_y = cy.astype(jnp.float32) + dy
-            s2 = (new_x - px) ** 2 + (new_y - py) ** 2
-            new_cy = cy + jnp.round(dy).astype(jnp.int32)
-            new_cx = cx + jnp.round(dx).astype(jnp.int32)
-            return new_cy, new_cx, new_x, new_y, m, s2
-
-        return jax.lax.cond(shift2 > 1e-4, do_round, lambda a: a,
-                            (cy, cx, px, py, mass, shift2))
-
-    init = (cy0, cx0, x0, y0, jnp.float32(0.0), jnp.float32(3.4e38))
-    cy, cx, px, py, mass, shift2 = jax.lax.fori_loop(0, 10, round_body, init)
-    return cy, cx, px, py, mass, jnp.sqrt(shift2)
+    k = cy0.shape[0]
+    init = (cy0, cx0, x0, y0, jnp.zeros(k, jnp.float32), jnp.full(k, 3.4e38, jnp.float32))
+    cy, cx, px, py, mass, _ = jax.lax.fori_loop(0, 10, round_body, init)
+    return cy, cx, px, py, mass
 
 
 def _hfr(img, cy, cx, location, radius: int):
-    """Half-flux radius + plausibility masses for one star
+    """Half-flux radius + plausibility masses for all stars at once
     (findstars.go:327-396). Returns (hfr, mass, inner_mass, pixels,
-    inner_pixels)."""
+    inner_pixels) as (K,) vectors."""
     size = 2 * radius + 1
     offs = jnp.arange(size, dtype=jnp.float32) - radius
     dist2 = offs[:, None] ** 2 + offs[None, :] ** 2
     dist = jnp.sqrt(dist2)
     dist2_limit = jnp.ceil((radius + 1e-8) * (radius + 1e-8))
 
-    patch, ok = _patch(img, cy, cx, radius)
-    in_disk = (dist2 <= dist2_limit) & ok
+    patch, ok = _patches(img, cy, cx, radius)
+    in_disk = (dist2 <= dist2_limit)[None] & ok
     v = jnp.maximum(jnp.where(ok, patch, 0.0) - location, 0.0)
     v = jnp.where(in_disk, v, 0.0)
-    mass = jnp.sum(v)
-    moment = jnp.sum(v * dist)
+    mass = jnp.sum(v, axis=(1, 2))
+    moment = jnp.sum(v * dist[None], axis=(1, 2))
     pixels = jnp.sum(dist2 <= dist2_limit)  # reference counts OOB pixels too
     mass_safe = jnp.where(mass == 0.0, 1e-8, mass)
     hfr = moment / mass_safe
 
-    inner_limit = jnp.ceil(hfr * hfr)
-    in_inner = (dist2 <= inner_limit) & ok
+    inner_limit = jnp.ceil(hfr * hfr)  # (K,)
+    in_inner = (dist2[None] <= inner_limit[:, None, None]) & ok
     vi = jnp.where(in_inner, jnp.maximum(jnp.where(ok, patch, 0.0) - location, 0.0), 0.0)
-    inner_mass = jnp.sum(vi)
-    inner_pixels = jnp.sum(dist2 <= inner_limit)
+    inner_mass = jnp.sum(vi, axis=(1, 2))
+    inner_pixels = jnp.sum(dist2[None] <= inner_limit[:, None, None], axis=(1, 2))
     return hfr, mass_safe, inner_mass, pixels, inner_pixels
 
 
@@ -222,15 +225,11 @@ def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
     mass = values
 
     # Phase 2: bad-pixel rejection against the 9-neighborhood median.
-    def local_median(cy_i, cx_i):
-        patch, ok = _patch(img, cy_i, cx_i, 1)
-        planes = [patch[j // 3, j % 3] for j in range(9)]
-        from nightlight_tpu.ops.prestack import median9
-
-        return median9(planes)
+    from nightlight_tpu.ops.prestack import median9
 
     bp_threshold = median_diff_std * bp_sig
-    med = jax.vmap(local_median)(cy, cx)
+    patch9, _ = _patches(img, cy, cx, 1)
+    med = median9([patch9[:, j // 3, j % 3] for j in range(9)])
     diff = values - med
     bp_ok = jnp.logical_or(bp_sig <= 0.0, jnp.abs(diff) < bp_threshold)
     valid = valid & bp_ok
@@ -240,17 +239,13 @@ def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
 
     # Phase 4: center-of-mass refinement.
     com_threshold = location + scale * star_sig * 0.5
-    cy, cx, x, y, mass, _ = jax.vmap(
-        lambda a, b, c, d: _center_of_mass(img, a, b, c, d, com_threshold, radius)
-    )(cy, cx, x, y)
+    cy, cx, x, y, mass = _center_of_mass(img, cy, cx, x, y, com_threshold, radius)
 
     # Phase 5: overlap filter again with refined positions and CoM masses.
     valid = _overlap_filter(x, y, mass, valid, float(radius))
 
     # Phase 6: HFR + plausibility.
-    hfr, mass2, inner_mass, pixels, inner_pixels = jax.vmap(
-        lambda a, b: _hfr(img, a, b, location, radius)
-    )(cy, cx)
+    hfr, mass2, inner_mass, pixels, inner_pixels = _hfr(img, cy, cx, location, radius)
     plausible = hfr <= radius
     outer_mass = mass2 - inner_mass
     outer_pixels = pixels - inner_pixels
