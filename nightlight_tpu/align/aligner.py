@@ -103,16 +103,19 @@ def generate_triangles(xs: np.ndarray, ys: np.ndarray, indices: np.ndarray,
 
 def _nearest_triangles(tri_sides: np.ndarray, ref_sides: np.ndarray, chunk: int = 4096):
     """For each frame triangle, the index and squared distance of the nearest
-    reference triangle in side-length space (replaces kdtree3p NN)."""
+    reference triangle in side-length space (replaces kdtree3p NN).
+
+    Distances use the exact difference form, NOT |a|^2+|b|^2-2ab matmuls:
+    TPU matmuls default to reduced precision and side lengths in the
+    thousands would swamp the pixel-scale differences that decide a match.
+    """
     t = jnp.asarray(tri_sides)
     r = jnp.asarray(ref_sides)
-    r_norm = jnp.sum(r * r, axis=1)
     best_idx = []
     best_d2 = []
     for lo in range(0, t.shape[0], chunk):
         tc = t[lo : lo + chunk]
-        d2 = (jnp.sum(tc * tc, axis=1)[:, None] + r_norm[None, :]
-              - 2.0 * tc @ r.T)
+        d2 = jnp.sum((tc[:, None, :] - r[None, :, :]) ** 2, axis=-1)
         best_idx.append(jnp.argmin(d2, axis=1))
         best_d2.append(jnp.min(d2, axis=1))
     return np.asarray(jnp.concatenate(best_idx)), np.asarray(jnp.concatenate(best_d2))
@@ -121,11 +124,10 @@ def _nearest_triangles(tri_sides: np.ndarray, ref_sides: np.ndarray, chunk: int 
 def _nn_match(proj: np.ndarray, ref_pts: np.ndarray):
     """Brute-force nearest reference star for each projected star
     (replaces kdtree2 NN). Returns (nearest point (N,2), squared dist (N,),
-    nearest index (N,))."""
+    nearest index (N,)). Exact difference form -- see _nearest_triangles."""
     p = jnp.asarray(proj)
     r = jnp.asarray(ref_pts)
-    d2 = (jnp.sum(p * p, axis=1)[:, None] + jnp.sum(r * r, axis=1)[None, :]
-          - 2.0 * p @ r.T)
+    d2 = ((p[:, 0:1] - r[None, :, 0]) ** 2 + (p[:, 1:2] - r[None, :, 1]) ** 2)
     idx = jnp.argmin(d2, axis=1)
     return np.asarray(r[idx]), np.asarray(jnp.min(d2, axis=1)), np.asarray(idx)
 
