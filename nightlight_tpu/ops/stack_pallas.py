@@ -243,8 +243,8 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
             else:
                 final_val = mean
             result = jnp.where(stop, final_val, result)
-            clo = clo + jnp.sum(below)
-            chi = chi + jnp.sum(above)
+            clo = clo + below
+            chi = chi + above
             return (new_lo, new_hi, (running & ~stop).astype(jnp.int32), result,
                     clo, chi, it + 1)
 
@@ -256,13 +256,15 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
         hi0 = cnt0
         running0 = (cnt0 > 0).astype(jnp.int32)
         result0 = jnp.zeros((1, TILE), jnp.float32)
-        state = (lo0, hi0, running0, result0, jnp.int32(0), jnp.int32(0), 0)
+        zeros_i = jnp.zeros((1, TILE), jnp.int32)
+        state = (lo0, hi0, running0, result0, zeros_i, zeros_i, 0)
         _, _, _, result, clo, chi, _ = jax.lax.while_loop(cond, body, state)
 
         out_ref[0, :] = jnp.where(cnt0 > 0, result + center, ref_loc)[0, :]
-        t = pl.program_id(0)
-        clip_ref[t, 0] = clo
-        clip_ref[t, 1] = chi
+        # per-lane clip counts in VMEM (an SMEM per-tile scalar output
+        # overflows Mosaic's 1MB SMEM window at large tile counts)
+        clip_ref[0, :] = clo[0, :]
+        clip_ref[1, :] = chi[0, :]
 
     return kernel
 
@@ -294,16 +296,15 @@ def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            # whole-array SMEM block: per-tile counts written at program_id
-            pl.BlockSpec((n_tiles, 2), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, p), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32),
+            jax.ShapeDtypeStruct((2, p), jnp.int32),
         ],
         interpret=INTERPRET,
     )(*inputs)
-    return out[0], jnp.sum(clips[:, 0]), jnp.sum(clips[:, 1])
+    return out[0], jnp.sum(clips[0]), jnp.sum(clips[1])
 
 
 def stack_sigma_pallas(frames: jax.Array, ref_frame_loc: float,
