@@ -16,6 +16,9 @@ from typing import Any, Optional
 
 from nightlight_tpu.ops.stats import LSEstimatorMode
 
+# Opt-in per-line log timestamps for performance debugging.
+_LOG_TIME = os.environ.get("NIGHTLIGHT_LOG_TIME", "") == "1"
+
 
 def total_memory_mb() -> int:
     try:
@@ -56,11 +59,20 @@ class Context:
         if self.stack_memory_mb == 0:
             self.stack_memory_mb = self.memory_mb * 7 // 10
         if self.max_threads == 0:
+            # Like the reference (operator.go:65). Worker threads issue device
+            # calls, so the pool must not exceed what the backend tolerates;
+            # host-side decode pipelining is handled separately by the
+            # OpLoadMany prefetcher, which never touches the device.
             self.max_threads = os.cpu_count() or 4
 
     def logf(self, fmt: str, *args) -> None:
         """Printf-style logging (Context.Log writes in the reference)."""
-        self.log.write(fmt % args if args else fmt)
+        msg = fmt % args if args else fmt
+        if _LOG_TIME:
+            import time
+
+            msg = f"[{time.monotonic():10.3f}] {msg}"
+        self.log.write(msg)
         if hasattr(self.log, "flush"):
             self.log.flush()
 

@@ -191,6 +191,10 @@ class OpLoad(Operator):
     TYPE = "load"
     PARAMS = {"id": ("id", 0), "file_name": ("fileName", "")}
 
+    def __init__(self, prefetcher=None, **kwargs):
+        super().__init__(**kwargs)
+        self._prefetcher = prefetcher  # host-side decode pipeline, optional
+
     def make_promises(self, ins, c):
         if ins:
             raise ValueError(f"{self.TYPE} operator with non-zero input")
@@ -198,10 +202,17 @@ class OpLoad(Operator):
         return [lambda: self.apply(None, c)]
 
     def apply(self, _unused, c: Context) -> Image:
-        from nightlight_tpu.io.fits import read_file
+        import jax.numpy as jnp
 
-        f = read_file(self.file_name, id=self.id, log=c.log)
+        if self._prefetcher is not None:
+            f = self._prefetcher.get(self.file_name)
+        else:
+            from nightlight_tpu.io.fits import read_file
+
+            f = read_file(self.file_name, id=self.id, log=c.log, to_device=False)
+        f.data = jnp.asarray(f.data)  # upload on the consuming thread
         if f.stats is not None:
+            f.stats.replace_data(f.data)
             f.stats.mode = c.ls_estimator_mode
         warning = ""
         if f.stats.max - f.stats.min < 1e-8:
@@ -209,6 +220,62 @@ class OpLoad(Operator):
         c.logf("%d: Loaded %s image with %s from %s%s\n",
                f.id, f.dimensions_string(), f.stats, f.file_name, warning)
         return f
+
+
+class _DecodePrefetcher:
+    """Host-only FITS decode pipeline for OpLoadMany.
+
+    Decodes the next few files into NUMPY arrays on background threads while
+    the (possibly single-threaded) promise executor works the device. The
+    threads never touch jax, so this is safe even on backends that reject
+    concurrent device access. Files may be consumed in any order.
+    """
+
+    def __init__(self, specs: list[tuple[int, str]], log, depth: int = 3, lookahead: int = 6):
+        import queue
+        import threading
+
+        self._results: dict[str, object] = {}
+        self._errors: dict[str, BaseException] = {}
+        self._done: dict[str, threading.Event] = {}
+        self._queue = queue.Queue()
+        # Bounded lookahead so decode-ahead cannot buffer an out-of-core run's
+        # entire input set in host RAM.
+        self._slots = threading.BoundedSemaphore(lookahead)
+        for id_, name in specs:
+            self._done[name] = threading.Event()
+            self._queue.put((id_, name))
+        self._log = log
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True) for _ in range(depth)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self):
+        import queue as queue_mod
+
+        from nightlight_tpu.io.fits import read_file
+
+        while True:
+            try:
+                id_, name = self._queue.get_nowait()
+            except queue_mod.Empty:
+                return
+            self._slots.acquire()
+            try:
+                self._results[name] = read_file(name, id=id_, log=self._log, to_device=False)
+            except BaseException as e:  # noqa: BLE001 - handed to the consumer
+                self._errors[name] = e
+            self._done[name].set()
+
+    def get(self, name: str):
+        self._done[name].wait()
+        if name in self._errors:
+            raise self._errors[name]
+        img = self._results.pop(name)
+        self._slots.release()
+        return img
 
 
 @register
@@ -221,17 +288,26 @@ class OpLoadMany(Operator):
     def make_promises(self, ins, c):
         if ins:
             raise ValueError(f"{self.TYPE} operator with non-zero input")
-        outs: list[Promise] = []
+        specs: list[tuple[int, str]] = []
         for pattern in self.file_patterns or []:
             for match in sorted(globmod.glob(pattern)):
                 if not ALLOW_ABSOLUTE_PATHS and not is_path_allowed(match):
                     c.logf("Pattern match outside current directory tree, skipping\n")
                     continue
-                op = OpLoad(id=len(outs), file_name=match)
-                outs.extend(op.make_promises([], c))
-        if not outs:
+                specs.append((len(specs), match))
+        if not specs:
             raise ValueError(
                 f"{self.TYPE} operator with no files to load from pattern {self.file_patterns}")
+        # One shared host-side decode pipeline across the load promises.
+        # Only profitable with spare cores: on a single-CPU host the decode
+        # threads contend with the consuming thread and slow the run down.
+        prefetcher = None
+        if len(specs) > 1 and (os.cpu_count() or 1) > 1:
+            prefetcher = _DecodePrefetcher(specs, c.log)
+        outs: list[Promise] = []
+        for id_, match in specs:
+            op = OpLoad(id=id_, file_name=match, prefetcher=prefetcher)
+            outs.extend(op.make_promises([], c))
         c.logf("Found %d files.\n", len(outs))
         return outs
 
