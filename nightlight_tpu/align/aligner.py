@@ -121,15 +121,28 @@ def _nearest_triangles(tri_sides: np.ndarray, ref_sides: np.ndarray, chunk: int 
     return np.asarray(jnp.concatenate(best_idx)), np.asarray(jnp.concatenate(best_d2))
 
 
-def _nn_match(proj: np.ndarray, ref_pts: np.ndarray):
-    """Brute-force nearest reference star for each projected star
-    (replaces kdtree2 NN). Returns (nearest point (N,2), squared dist (N,),
-    nearest index (N,)). Exact difference form -- see _nearest_triangles."""
-    p = jnp.asarray(proj)
+def _nn_match_batch(pts: np.ndarray, ref_pts: np.ndarray, transforms: np.ndarray):
+    """Nearest reference star for every star under EVERY candidate transform,
+    in one device dispatch (replaces kdtree2 NN; the reference loops
+    candidates sequentially, align.go:167-254 -- per-candidate dispatch
+    latency dominates on tunneled TPU setups).
+
+    pts (N,2), ref_pts (R,2), transforms (C,6) ->
+    (nearest idx (C,N) int, squared dist (C,N)). Exact difference form --
+    see _nearest_triangles.
+    """
+    p = jnp.asarray(pts)
     r = jnp.asarray(ref_pts)
-    d2 = ((p[:, 0:1] - r[None, :, 0]) ** 2 + (p[:, 1:2] - r[None, :, 1]) ** 2)
-    idx = jnp.argmin(d2, axis=1)
-    return np.asarray(r[idx]), np.asarray(jnp.min(d2, axis=1)), np.asarray(idx)
+    t = jnp.asarray(transforms)
+    px = t[:, 0:1] * p[None, :, 0] + t[:, 1:2] * p[None, :, 1] + t[:, 2:3]  # (C,N)
+    py = t[:, 3:4] * p[None, :, 0] + t[:, 4:5] * p[None, :, 1] + t[:, 5:6]
+    d2 = ((px[:, :, None] - r[None, None, :, 0]) ** 2
+          + (py[:, :, None] - r[None, None, :, 1]) ** 2)  # (C,N,R)
+    idx = jnp.argmin(d2, axis=2)
+    best = jnp.min(d2, axis=2)
+    packed = np.asarray(jnp.concatenate([idx.astype(jnp.float32), best], axis=0))
+    c = transforms.shape[0]
+    return packed[:c].astype(np.int64), packed[c:]
 
 
 def _lsq_affine(pts: np.ndarray, ref: np.ndarray, mask: np.ndarray) -> np.ndarray | None:
@@ -189,19 +202,36 @@ class Aligner:
         pts = np.stack([stars.x, stars.y], axis=-1).astype(np.float32)
         n_stars = len(stars)
 
+        # Build all candidate transforms on the host (closed form, cheap),
+        # then match every candidate in ONE device dispatch.
+        cand_transforms = []
         for ti in order:
             tri = tris[ti]
             ref_tri = self.ref_tris[nn_idx[ti]]
             p = [pts[v] for v in tri]
             pp = [self.ref_pts[v] for v in ref_tri]
             try:
-                trans = tf.from_three_points(p[0], p[1], p[2], pp[0], pp[1], pp[2])
+                cand_transforms.append(tf.from_three_points(p[0], p[1], p[2], pp[0], pp[1], pp[2]))
             except ValueError:
                 continue
+        if not cand_transforms:
+            return best_trans, best_residual
+        # Pad candidate count to k and star count to a 256 bucket so the
+        # batched matcher compiles once per session, not once per frame.
+        n_cand = len(cand_transforms)
+        while len(cand_transforms) < self.k:
+            cand_transforms.append(cand_transforms[0])
+        pts_padded = pts
+        n_bucket = ((n_stars + 255) // 256) * 256
+        if n_bucket > n_stars:
+            pts_padded = np.concatenate(
+                [pts, np.full((n_bucket - n_stars, 2), 1.0e30, np.float32)])
+        all_idx, all_d2 = _nn_match_batch(pts_padded, self.ref_pts,
+                                          np.stack(cand_transforms))
+        all_idx, all_d2 = all_idx[:, :n_stars], all_d2[:, :n_stars]
 
-            # Match all stars under the candidate transform.
-            proj = tf.apply(trans, pts)
-            ref_match, d2, ref_idx = _nn_match(proj, self.ref_pts)
+        for ci in range(n_cand):
+            ref_idx, d2 = all_idx[ci], all_d2[ci]
             mask = d2 < DIST_SQ_LIMIT
             # Require >= 1/3 matched (align.go:210), and -- beyond the
             # reference -- at least 4 DISTINCT reference stars: a 6-parameter
@@ -211,6 +241,7 @@ class Aligner:
             distinct = len(np.unique(ref_idx[mask]))
             if mask.sum() < n_stars / 3 or distinct < min(4, len(self.ref_pts)):
                 continue
+            ref_match = self.ref_pts[ref_idx]
 
             refined = _lsq_affine(pts, ref_match, mask)
             if refined is None:
