@@ -153,14 +153,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def auto_fill(value: str, base: str, extension: str) -> str:
-    """%auto filename derivation (main.go:448-456)."""
-    if value == "%auto":
-        if base:
-            root, _ = os.path.splitext(base)
-            return root + extension
-        return ""
-    return value
+from nightlight_tpu.utils.logging import MultiWriter, auto_fill  # noqa: E402
 
 
 HNM_AUTO = 4
@@ -236,18 +229,7 @@ def main(argv=None) -> int:
     log_file = None
     if args.log:
         log_file = open(args.log, "w")
-
-        class MultiWriter(io.TextIOBase):
-            def write(self, s):
-                sys.stdout.write(s)
-                log_file.write(s)
-                return len(s)
-
-            def flush(self):
-                sys.stdout.flush()
-                log_file.flush()
-
-        log_writer = MultiWriter()
+        log_writer = MultiWriter(sys.stdout, log_file)
 
     args.jpg = auto_fill(args.jpg, args.out, ".jpg")
     args.tiff = auto_fill(args.tiff, args.out, ".tif")
