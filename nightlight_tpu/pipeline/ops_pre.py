@@ -97,11 +97,16 @@ class OpBadPixel(UnaryOperator):
             return f
         debayer = self.debayer
         if debayer is None or not getattr(debayer, "channel", ""):
+            import jax.numpy as jnp
+            import numpy as np
+
             repaired, n_bad, diff_std = ps.bad_pixel_repair(f.data, self.sigma_low, self.sigma_high)
-            n_bad = int(n_bad)
             from nightlight_tpu.ops.stats import Stats
 
-            f.median_diff_stats = Stats.from_stddev(float(diff_std))
+            # one device sync for both scalars
+            packed = np.asarray(jnp.stack([n_bad.astype(jnp.float32), diff_std]))
+            n_bad = int(packed[0])
+            f.median_diff_stats = Stats.from_stddev(float(packed[1]))
             f.set_data(repaired)
             c.logf("%d: Removed %d bad pixels (%.2f%%) with sigma low=%.2f high=%.2f\n",
                    f.id, n_bad, 100.0 * n_bad / f.pixels, self.sigma_low, self.sigma_high)

@@ -152,8 +152,34 @@ class OpStackBatches(Operator):
             stack_img.set_data(stk.stack_incremental_finalize(stack_acc, float(stack_frames)))
         return stack_img
 
+    @staticmethod
+    def _device_memory_mb() -> int:
+        """Usable accelerator memory in MiB. The reference budgets host RAM
+        (stackbatches.go:146); on TPU the frame batch must also fit HBM, which
+        is usually the binding constraint. Falls back to a conservative v5e
+        figure when the backend does not report memory stats."""
+        import jax
+
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                return int(stats["bytes_limit"] // (1 << 20))
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            if jax.devices()[0].platform == "tpu":
+                return 16 * 1024  # v5e HBM
+        except Exception:  # noqa: BLE001
+            pass
+        return 1 << 30  # effectively unbounded (CPU host memory governs)
+
     def _partition(self, ins, c: Context):
-        """Memory-budget solver + random permutation (stackbatches.go:121-210)."""
+        """Memory-budget solver + random permutation (stackbatches.go:121-210).
+
+        The budget is min(host stacking budget, ~60% of device memory): the
+        stacked (frames x pixels) batch plus kernel working set must be
+        HBM-resident.
+        """
         num_frames = len(ins)
         if c.dark_frame is not None:
             width, height = c.dark_frame.naxisn[0], c.dark_frame.naxisn[1]
@@ -171,7 +197,8 @@ class OpStackBatches(Operator):
         c.logf("%d images of %dx%d pixels (%.1f MPixels), which each take %d MiB in-memory"
                " as floating point.\n", num_frames, width, height, pixels * 1e-6, mib)
 
-        available_frames = (c.stack_memory_mb << 20) // nbytes
+        budget_mb = min(c.stack_memory_mb, self._device_memory_mb() * 6 // 10)
+        available_frames = (budget_mb << 20) // nbytes
         max_threads = c.max_threads
         c.logf("CPU has %d threads. Physical memory is %d MiB, -op.Memory is %d MiB,"
                " this fits %d frames.\n", max_threads, c.memory_mb, c.stack_memory_mb,
