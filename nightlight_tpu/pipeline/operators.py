@@ -353,7 +353,12 @@ class OpSave(Operator):
         if f is None:
             raise ValueError(f"cannot save nil file to {self.file_pattern}")
         file_name = self.file_pattern
-        if "%d" in file_name:
+        # %d / %04d expansion by image ID. (The reference tests for the
+        # literal substring "%d" (operator.go:402), which misses its own
+        # documented `pre%04d.fits` example; match the documented behavior.)
+        import re as _re
+
+        if _re.search(r"%0?\d*d", file_name):
             file_name = file_name % f.id
         fn_lower = file_name.lower()
 

@@ -1,0 +1,115 @@
+"""Operator framework behavior details: save pattern expansion, export
+ranges, sequences, glob ordering, path sandbox (reference: operator.go)."""
+
+import io
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nightlight_tpu.image import Image
+from nightlight_tpu.io import fits as nlfits
+from nightlight_tpu.pipeline.context import new_context
+from nightlight_tpu.pipeline.operators import (
+    ExportMode,
+    OpLoadMany,
+    OpSave,
+    OpSequence,
+    is_path_allowed,
+    materialize_all,
+)
+
+
+def make_image(rng, w=16, h=16, id=0, lo=0.0, hi=100.0):
+    d = rng.uniform(lo, hi, size=(h, w)).astype(np.float32)
+    img = Image.from_naxisn([w, h], d)
+    img.id = id
+    return img
+
+
+class TestOpSave:
+    def test_percent_d_expansion(self, tmp_path, rng, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        c = new_context(log=io.StringIO())
+        op = OpSave(file_pattern="pre%04d.fits")
+        op.apply(make_image(rng, id=7), c)
+        assert (tmp_path / "pre0007.fits").exists()
+
+    def test_empty_pattern_passthrough(self, rng):
+        c = new_context(log=io.StringIO())
+        img = make_image(rng)
+        assert OpSave(file_pattern="").apply(img, c) is img
+
+    def test_export_mode_scaling(self, tmp_path, rng, monkeypatch):
+        """0-65535 export maps value 65535 to full white (operator.go:411-424)."""
+        from PIL import Image as PILImage
+
+        monkeypatch.chdir(tmp_path)
+        c = new_context(log=io.StringIO())
+        d = np.zeros((8, 8), np.float32)
+        d[4, 4] = 65535.0
+        img = Image.from_naxisn([8, 8], d)
+        OpSave(file_pattern="x.jpg", export_mode=int(ExportMode.Zero65535)).apply(img, c)
+        arr = np.asarray(PILImage.open(tmp_path / "x.jpg"))
+        assert arr[4, 4] > 200
+        assert arr[0, 0] < 40
+
+    def test_unknown_suffix_raises(self, tmp_path, rng, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        c = new_context(log=io.StringIO())
+        with pytest.raises(ValueError, match="unknown suffix"):
+            OpSave(file_pattern="out.xyz").apply(make_image(rng), c)
+
+    def test_gz_fits_roundtrip(self, tmp_path, rng, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        c = new_context(log=io.StringIO())
+        img = make_image(rng)
+        OpSave(file_pattern="z.fits.gz").apply(img, c)
+        back = nlfits.read_file(str(tmp_path / "z.fits.gz"), to_device=False)
+        np.testing.assert_array_equal(back.to_numpy(), img.to_numpy())
+
+
+class TestLoadMany:
+    def test_glob_sorted_ids(self, tmp_path, rng, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        c = new_context(log=io.StringIO())
+        for name in ("b.fits", "a.fits", "c.fits"):
+            nlfits.write_file(make_image(rng), name)
+        promises = OpLoadMany(file_patterns=["*.fits"]).make_promises([], c)
+        outs, err = materialize_all(promises, 1, False)
+        assert err is None
+        assert [(o.id, o.file_name) for o in outs] == [
+            (0, "a.fits"), (1, "b.fits"), (2, "c.fits")]
+
+    def test_path_sandbox(self):
+        assert not is_path_allowed("/etc/passwd")
+        assert not is_path_allowed("../up.fits")
+        assert is_path_allowed("sub/dir/x.fits")
+
+
+class TestOpSequence:
+    def test_nested_sequences_flatten_execution(self, tmp_path, rng, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        c = new_context(log=io.StringIO())
+        nlfits.write_file(make_image(rng), "in.fits")
+        seq = OpSequence(steps=[
+            OpLoadMany(file_patterns=["in.fits"]),
+            OpSequence(steps=[OpSave(file_pattern="mid.fits")]),
+            OpSave(file_pattern="out.fits"),
+        ])
+        promises = seq.make_promises([], c)
+        _, err = materialize_all(promises, 1, True)
+        assert err is None
+        assert (tmp_path / "mid.fits").exists()
+        assert (tmp_path / "out.fits").exists()
+
+    def test_empty_sequence_passthrough(self):
+        c = new_context(log=io.StringIO())
+        sentinel = [lambda: None]
+        assert OpSequence().make_promises(sentinel, c) is sentinel
+
+    def test_json_matches_reference_shape(self):
+        d = OpSequence(steps=[OpSave(file_pattern="x.fits")]).to_dict()
+        s = json.dumps(d)
+        assert '"type": "seq"' in s and '"steps"' in s
