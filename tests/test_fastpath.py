@@ -1,0 +1,50 @@
+"""Fused frame-batch preprocessing vs the per-frame operator path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nightlight_tpu.detect.stars import find_stars
+from nightlight_tpu.models.fastpath import match_histograms_batch, preprocess_batch
+from nightlight_tpu.ops.prestack import bad_pixel_repair
+from tests.test_stars import synth_field
+
+
+class TestFusedPreprocess:
+    def test_matches_per_frame_path(self, rng):
+        frames = np.stack([
+            synth_field(rng, h=128, w=128, stars=[(40.0 + 3 * i, 50.0), (90.0, 80.0 - 2 * i)],
+                        flux=8000.0, fwhm=8.0)
+            for i in range(4)
+        ])
+        repaired, metas, star_lists, hfrs = preprocess_batch(
+            frames, star_sig=10.0, star_bp_sig=5.0, radius=16)
+        assert repaired.shape == frames.shape
+
+        for i in range(4):
+            # per-frame reference path
+            rep_i, n_bad_i, std_i = bad_pixel_repair(jnp.asarray(frames[i]), 3.0, 5.0)
+            np.testing.assert_allclose(np.asarray(repaired[i]), np.asarray(rep_i), rtol=1e-6)
+            assert metas[i]["n_bad"] == int(n_bad_i)
+            assert metas[i]["median_diff_std"] == pytest.approx(float(std_i), rel=1e-5)
+
+            from nightlight_tpu.ops.stats import Stats
+
+            st = Stats(rep_i, 128)
+            assert metas[i]["location"] == pytest.approx(st.location, rel=1e-4)
+            assert metas[i]["scale"] == pytest.approx(st.scale, rel=1e-3)
+
+            stars_i, hfr_i = find_stars(rep_i, st.location, st.scale, 10.0, 5.0, 1.4, 16,
+                                        median_diff_std=float(std_i))
+            assert len(star_lists[i]) == len(stars_i)
+            assert hfrs[i] == pytest.approx(hfr_i, rel=1e-4)
+            np.testing.assert_allclose(star_lists[i].x, stars_i.x, atol=1e-3)
+
+    def test_match_histograms_batch(self, rng):
+        frames = jnp.asarray(rng.normal(100, 5, size=(3, 16, 16)).astype(np.float32))
+        locs = jnp.asarray([100.0, 95.0, 105.0], jnp.float32)
+        scales = jnp.asarray([5.0, 4.0, 6.0], jnp.float32)
+        out = match_histograms_batch(frames, locs, scales, jnp.float32(100.0), jnp.float32(5.0))
+        # frame 1: mult = 5/4, off = 100 - 95*5/4
+        expected = np.asarray(frames)[1] * 1.25 + (100.0 - 95.0 * 1.25)
+        np.testing.assert_allclose(np.asarray(out)[1], expected, rtol=1e-5)
