@@ -1,0 +1,77 @@
+"""End-to-end coverage of the BASELINE.json benchmark configs that the basic
+e2e tests don't reach: one-shot-color (Bayer) stacking and narrowband
+Hubble-palette post-processing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nightlight_tpu.image import Image
+from nightlight_tpu.io import fits as nlfits
+from tests.test_pipeline_e2e import STAR_POS, run_cli
+from tests.test_stars import synth_field
+
+
+def mosaic_from_rgb(r, g, b):
+    """Interleave channel planes into an RGGB mosaic."""
+    h, w = r.shape
+    cfa = np.empty((h, w), np.float32)
+    cfa[0::2, 0::2] = r[0::2, 0::2]
+    cfa[0::2, 1::2] = g[0::2, 1::2]
+    cfa[1::2, 0::2] = g[1::2, 0::2]
+    cfa[1::2, 1::2] = b[1::2, 1::2]
+    return cfa
+
+
+class TestOSCDebayerStack:
+    """BASELINE config #3: debayer one-shot-color + align + stack."""
+
+    def test_debayer_stack_red_channel(self, tmp_path, rng):
+        for i in range(4):
+            stars = [(x + 2.0 * i, y - 1.5 * i) for (x, y) in STAR_POS]
+            lum = synth_field(rng, h=128, w=128, stars=stars, bg=100.0, noise=2.0,
+                              flux=8000.0, fwhm=8.0)
+            # red-dominant stars: R = lum, G/B = attenuated
+            cfa = mosaic_from_rgb(lum, 0.6 * lum, 0.4 * lum)
+            img = Image.from_naxisn([128, 128], cfa)
+            img.exposure = 30.0
+            nlfits.write_file(img, str(tmp_path / f"osc{i:02d}.fits"))
+
+        rc = run_cli(["-out", "osc_stack.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-debayer", "R", "-cfa", "RGGB", "-stMode", "1",
+                      "stack", "osc*.fits"], tmp_path)
+        assert rc == 0
+        out = nlfits.read_file(str(tmp_path / "osc_stack.fits"), to_device=False)
+        assert out.naxisn == [128, 128]  # full resolution after debayer
+        d = out.to_numpy()
+        # background must sit at the red channel level, stars present
+        assert np.median(d) == pytest.approx(100.0, abs=3.0)
+        assert d.max() > 140.0
+
+
+class TestNarrowbandHubble:
+    """BASELINE config #4: S2/Ha/O3 composite with hue rotation + SCNR."""
+
+    def test_hubble_palette_flags(self, tmp_path, rng):
+        for ch, gain in (("s2", 0.5), ("ha", 1.0), ("o3", 0.7)):
+            img = synth_field(rng, h=96, w=96, stars=STAR_POS[:5], bg=100.0 * gain,
+                              noise=1.0, flux=9000.0 * gain, fwhm=8.0)
+            im = Image.from_naxisn([96, 96], img)
+            im.exposure = 60.0
+            nlfits.write_file(im, str(tmp_path / f"nb_{ch}.fits"))
+
+        rc = run_cli(["-out", "hubble.fits", "-log", "", "-jpg", "hubble.jpg",
+                      "-exportStats", "",
+                      "-rotFrom", "100", "-rotTo", "190", "-rotBy", "-30",
+                      "-scnr", "0.5", "-chromaGamma", "1.2",
+                      "-neutSigmaLow", "0.5", "-neutSigmaHigh", "1.0",
+                      "rgb", "nb_s2.fits", "nb_ha.fits", "nb_o3.fits"], tmp_path)
+        assert rc == 0
+        out = nlfits.read_file(str(tmp_path / "hubble.fits"), to_device=False)
+        assert out.naxisn == [96, 96, 3]
+        d = out.to_numpy()
+        assert np.isfinite(d).all()
+        assert (tmp_path / "hubble.jpg").exists()
+        # SCNR + rotation must reduce green dominance relative to a plain combine
+        green_excess = d[1] - 0.5 * (d[0] + d[2])
+        assert float(np.median(green_excess)) < 0.05
