@@ -9,7 +9,6 @@ DSL, %auto filename derivation, and the job-JSON echo before execution.
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import os
 import sys
@@ -17,8 +16,6 @@ import time
 
 from nightlight_tpu import __version__
 from nightlight_tpu.ops.stats import LSEstimatorMode
-from nightlight_tpu.ops.stack import StackMode, StackWeighting
-from nightlight_tpu.ops.rgb import RGB
 from nightlight_tpu.models.presets import build_command_seq
 
 
@@ -258,8 +255,6 @@ def main(argv=None) -> int:
 
     trace_ctx = None
     if args.trace:
-        import contextlib
-
         import jax
 
         trace_ctx = jax.profiler.trace(args.trace)

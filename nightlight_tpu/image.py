@@ -14,7 +14,6 @@ import math
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -22,11 +22,9 @@ Behavior-compatible rebuild of the reference's FITS codec
 from __future__ import annotations
 
 import gzip
-import math
-import os
 import re
 import sys
-from typing import BinaryIO, Optional
+from typing import BinaryIO
 
 import jax.numpy as jnp
 import numpy as np

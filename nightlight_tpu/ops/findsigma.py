@@ -10,8 +10,6 @@ which is memory-bound milliseconds on TPU.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from nightlight_tpu.ops import stack as stk
 
 

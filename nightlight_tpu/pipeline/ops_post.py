@@ -3,11 +3,9 @@
 
 from __future__ import annotations
 
-import math
 import threading
 from enum import IntEnum
 
-import numpy as np
 
 from nightlight_tpu.image import Image
 from nightlight_tpu.ops import pixelmath as pm

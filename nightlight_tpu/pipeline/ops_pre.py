@@ -3,7 +3,6 @@ bin, starDetect, backExtract (reference: internal/ops/pre/)."""
 
 from __future__ import annotations
 
-import math
 
 import jax.numpy as jnp
 import numpy as np
@@ -14,8 +13,6 @@ from nightlight_tpu.ops import prestack as ps
 from nightlight_tpu.pipeline.context import Context
 from nightlight_tpu.pipeline.operators import (
     OpLoad,
-    OpSave,
-    Operator,
     UnaryOperator,
     materialize_all,
     register,

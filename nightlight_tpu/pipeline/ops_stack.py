@@ -7,7 +7,6 @@ from __future__ import annotations
 import random
 
 import jax.numpy as jnp
-import numpy as np
 
 from nightlight_tpu.image import Image
 from nightlight_tpu.ops import stack as stk

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import io
 import os
-import sys
 
 
 def auto_fill(value: str, base: str, extension: str) -> str:
