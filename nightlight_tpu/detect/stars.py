@@ -16,7 +16,7 @@ TPU-native rebuild of the reference's 6-phase detector
    radius -- iterated to convergence with a lax.while_loop over a KxK
    conflict matrix. The fixed point equals the sequential greedy result.
 4. iterative center-of-mass refinement, <=10 rounds to 0.01px
-   (findstars.go:274-322), as a fori_loop over vmapped patch gathers.
+   (findstars.go:274-322), as a fori_loop over batched patch gathers.
 5. re-sort by mass + overlap filter again (findstars.go:80-82).
 6. HFR by radial first moment + in/out brightness plausibility filter
    (findstars.go:327-396).
