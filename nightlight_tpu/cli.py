@@ -15,8 +15,9 @@ import sys
 import time
 
 from nightlight_tpu import __version__
-from nightlight_tpu.ops.stats import LSEstimatorMode
 from nightlight_tpu.models.presets import build_command_seq
+from nightlight_tpu.ops.stats import LSEstimatorMode
+from nightlight_tpu.utils.logging import MultiWriter, auto_fill
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -150,9 +151,6 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-from nightlight_tpu.utils.logging import MultiWriter, auto_fill  # noqa: E402
-
-
 HNM_AUTO = 4
 HNM_NONE = 0
 HNM_LOC_SCALE = 2
@@ -187,6 +185,7 @@ def run_op(op, c) -> None:
     c.logf("\nRunning JSON job:\n%s\n", op.to_json())
     promises = op.make_promises([], c)
     _, err = materialize_all(promises, c.max_threads, True)
+    c.finalize()
     if err is not None:
         raise err
 

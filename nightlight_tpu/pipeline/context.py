@@ -65,6 +65,23 @@ class Context:
             # OpLoadMany prefetcher, which never touches the device.
             self.max_threads = os.cpu_count() or 4
 
+    def finalize(self) -> None:
+        """Close any pending incremental outputs at end of run.
+
+        The stats HTML trailer is normally written when the processed count
+        reaches stats_total, but only stackBatches sets the total
+        (stackbatches.go:63); for other commands the reference leaves the
+        report unterminated. Flush it here instead.
+        """
+        if self.stats_file is not None:
+            from nightlight_tpu.pipeline.ops_ref import _SESSION_STATS_TRAILER
+
+            self.logf("Writing statistics footer at end of run...\n")
+            self.stats_file.write("]")
+            self.stats_file.write(_SESSION_STATS_TRAILER)
+            self.stats_file.close()
+            self.stats_file = None
+
     def logf(self, fmt: str, *args) -> None:
         """Printf-style logging (Context.Log writes in the reference)."""
         msg = fmt % args if args else fmt

@@ -161,6 +161,7 @@ class Handler(BaseHTTPRequestHandler):
         try:
             promises = op.make_promises([], c)
             _, err = materialize_all(promises, c.max_threads, True)
+            c.finalize()
             if err is not None:
                 log.write(f"Error materializing promises: {err}\n")
         except Exception as e:  # noqa: BLE001

@@ -198,3 +198,16 @@ class TestJobSerialization:
         d = seq.to_dict()
         seq2 = op_from_dict(d)
         assert seq2.to_dict() == d
+
+
+class TestStatsExportLifecycle:
+    def test_stats_html_terminated_without_batches(self, tmp_path, rng, capsys):
+        """The stats command never sets stats_total (only stackBatches does,
+        stackbatches.go:63); the run-end finalize must still terminate the
+        HTML report."""
+        write_frames(tmp_path, rng, n_frames=2)
+        rc = run_cli(["-out", "", "-log", "", "-exportStats", "s.html",
+                      "stats", "light*.fits"], tmp_path)
+        assert rc == 0
+        html = (tmp_path / "s.html").read_text()
+        assert html.rstrip().endswith("</html>")
