@@ -211,3 +211,38 @@ class TestStatsExportLifecycle:
         assert rc == 0
         html = (tmp_path / "s.html").read_text()
         assert html.rstrip().endswith("</html>")
+
+
+class TestLRGBCommand:
+    def test_rgb_with_four_inputs_applies_luminance(self, tmp_path, rng, capsys):
+        """LRGB is the rgb command with 4 inputs; the 4th is the luminance
+        frame (rgb.go:74-75) applied onto the HSLuv L channel by
+        hslApplyLum (hsl.go:30-71) and its exposure added."""
+        for ch, gain in (("r", 1.0), ("g", 0.8), ("b", 0.6), ("l", 1.2)):
+            img = synth_field(rng, h=128, w=128, stars=STAR_POS[:6], bg=100.0 * gain,
+                              noise=1.0, flux=8000.0 * gain)
+            im = Image.from_naxisn([128, 128], jnp.asarray(img))
+            im.exposure = 60.0
+            nlfits.write_file(im, str(tmp_path / f"chan_{ch}.fits"))
+        rc = run_cli(["-out", "lrgb.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "rgb", "chan_r.fits", "chan_g.fits", "chan_b.fits",
+                      "chan_l.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "Applying luminance image to luminance channel" in out
+        lrgb = nlfits.read_file(str(tmp_path / "lrgb.fits"), to_device=False)
+        assert lrgb.naxisn == [128, 128, 3]
+        # exposure: 3 color channels summed by combine + luminance added
+        assert lrgb.exposure == pytest.approx(240.0)
+
+    def test_rgb_with_five_inputs_fails(self, tmp_path, rng, capsys):
+        for i in range(5):
+            img = synth_field(rng, h=64, w=64, stars=STAR_POS[:4], bg=100.0, noise=1.0)
+            im = Image.from_naxisn([64, 64], jnp.asarray(img))
+            nlfits.write_file(im, str(tmp_path / f"c{i}.fits"))
+        rc = run_cli(["-out", "x.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "rgb", "c0.fits", "c1.fits", "c2.fits", "c3.fits", "c4.fits"],
+                     tmp_path)
+        out = capsys.readouterr().out
+        assert rc == -1
+        assert "inputs" in out or "channels" in out
