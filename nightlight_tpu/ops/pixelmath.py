@@ -60,9 +60,14 @@ def shift_black_to_move(data: jax.Array, before: float, after: float) -> jax.Arr
 
 @jax.jit
 def normalize(data: jax.Array, vmin: float, vmax: float) -> jax.Array:
-    """Normalize [min,max] to [0,1] (pixelops.go:143-147)."""
+    """Normalize [min,max] to [0,1] (pixelops.go:143-147).
+
+    Clamped to the contract range: Go rounds d*scale before adding the
+    offset so the min pixel lands exactly on 0, but XLA may fuse
+    d*scale-vmin*scale into an FMA whose unrounded product puts the min
+    pixel a ulp below zero."""
     scale = 1.0 / (vmax - vmin)
-    return data * scale - vmin * scale
+    return jnp.clip(data * scale - vmin * scale, 0.0, 1.0)
 
 
 @jax.jit

@@ -1,0 +1,78 @@
+"""Sharded pipeline step over the virtual 8-device mesh: the row-sharded
+calibrate+match+stack must be numerically identical to the single-device
+path (the reference has no distributed mode, SURVEY.md section 2.7; this is
+the TPU-native scaling axis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nightlight_tpu.ops import stack as stk
+from nightlight_tpu.parallel.mesh import (
+    make_mesh, run_sharded_stack, sharded_pipeline_step, shard_rows, _pipeline_step)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def _mk_inputs(rng, n=10, h=64, w=48):
+    frames = rng.normal(100.0, 2.0, size=(n, h, w)).astype(np.float32)
+    frames[3, 10, 10] += 400.0  # outlier to exercise clipping
+    dark = rng.normal(5.0, 0.1, size=(h, w)).astype(np.float32)
+    flat = rng.uniform(0.8, 1.0, size=(h, w)).astype(np.float32)
+    return frames, dark, flat
+
+
+class TestShardedStack:
+    def test_mesh_uses_all_devices(self, mesh):
+        assert mesh.devices.size == len(jax.devices()) == 8
+
+    def test_sharded_matches_single_device(self, mesh, rng):
+        frames, dark, flat = _mk_inputs(rng)
+        stacked, lo, hi = run_sharded_stack(frames, dark, flat, mesh=mesh)
+
+        n = frames.shape[0]
+        ones = jnp.ones(n, jnp.float32)
+        ref, rlo, rhi = _pipeline_step(
+            jnp.asarray(frames), jnp.asarray(dark), jnp.asarray(flat),
+            jnp.float32(flat.max()), ones, ones, ones,
+            jnp.float32(1.0), jnp.float32(1.0),
+            jnp.float32(2.75), jnp.float32(2.75), mode=int(stk.StackMode.Sigma))
+
+        np.testing.assert_allclose(np.asarray(stacked), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+        assert int(lo) == int(rlo) and int(hi) == int(rhi)
+        assert int(hi) >= 1  # the planted outlier was clipped
+
+    def test_output_is_row_sharded(self, mesh, rng):
+        frames, dark, flat = _mk_inputs(rng, n=8)
+        stacked, _, _ = run_sharded_stack(frames, dark, flat, mesh=mesh)
+        # output stays sharded over rows: one addressable shard per device,
+        # each holding rows/8
+        shards = stacked.addressable_shards
+        assert len(shards) == 8
+        assert shards[0].data.shape == (frames.shape[1] // 8, frames.shape[2])
+
+    def test_input_row_sharding_spec(self, mesh):
+        s = shard_rows(mesh)
+        assert s.spec == jax.sharding.PartitionSpec(None, "pix", None)
+
+    def test_all_stack_modes_compile_sharded(self, mesh, rng):
+        frames, dark, flat = _mk_inputs(rng, n=6, h=32, w=32)
+        for mode in (stk.StackMode.Median, stk.StackMode.Mean,
+                     stk.StackMode.WinsorSigma, stk.StackMode.LinearFit):
+            fn = sharded_pipeline_step(mesh, int(mode))
+            n = frames.shape[0]
+            ones = jnp.ones(n, jnp.float32)
+            dev = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+            plane = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("pix", None))
+            out, _, _ = fn(dev, jax.device_put(jnp.asarray(dark), plane),
+                           jax.device_put(jnp.asarray(flat), plane),
+                           jnp.float32(flat.max()), ones, ones, ones,
+                           jnp.float32(1.0), jnp.float32(1.0),
+                           jnp.float32(2.75), jnp.float32(2.75))
+            assert np.isfinite(np.asarray(out)).all(), mode
