@@ -422,23 +422,31 @@ def stack(frames: jax.Array, mode: StackMode, weights=None,
     `frames` may be any shape with the frame axis first; NaNs mark missing
     samples (e.g. out-of-bounds after projection).
 
-    Sigma and winsorized modes route to the VMEM-resident Pallas kernel
-    (ops/stack_pallas.py) on TPU -- ~4000x faster than the XLA loop at 40
-    frames -- unless `use_pallas=False` (required under sharding annotations,
-    where a pallas_call cannot be auto-partitioned).
+    Sigma, winsorized, and linear-fit modes route to the VMEM-resident Pallas
+    kernels (ops/stack_pallas.py) on TPU -- ~4000x faster than the XLA loop
+    at 40 frames -- unless `use_pallas=False` (required under sharding
+    annotations, where a pallas_call cannot be auto-partitioned). Linear fit
+    (the auto mode for >=25 frames, stack.go:45-55) has no weighted variant,
+    matching the reference.
     """
     shape = frames.shape[1:]
     flat = frames.reshape(frames.shape[0], -1)
     if mode == StackMode.Auto:
         mode = auto_select_mode(frames.shape[0])
     if use_pallas is None:
-        use_pallas = mode in (StackMode.Sigma, StackMode.WinsorSigma) and _pallas_available()
+        use_pallas = (mode in (StackMode.Sigma, StackMode.WinsorSigma, StackMode.LinearFit)
+                      and _pallas_available())
     if use_pallas and mode in (StackMode.Sigma, StackMode.WinsorSigma):
         from nightlight_tpu.ops.stack_pallas import stack_sigma_pallas
 
         data, cl, ch = stack_sigma_pallas(
             flat, ref_frame_loc, sigma_low, sigma_high, weights=weights,
             winsorize=(mode == StackMode.WinsorSigma))
+        return data.reshape(shape), cl, ch
+    if use_pallas and mode == StackMode.LinearFit:
+        from nightlight_tpu.ops.stack_pallas import stack_linfit_pallas
+
+        data, cl, ch = stack_linfit_pallas(flat, ref_frame_loc, sigma_low, sigma_high)
         return data.reshape(shape), cl, ch
     zero = jnp.int32(0)
     if mode == StackMode.Median:

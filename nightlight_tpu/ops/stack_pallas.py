@@ -306,6 +306,151 @@ def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
     return out[0], jnp.sum(clips[0]), jnp.sum(clips[1])
 
 
+def _make_linfit_kernel(n_pad: int, n_frames: int):
+    """Linear-fit clipping kernel (semantics of ops.stack.stack_linear_fit,
+    mirroring stack.go:832-918). Unlike sigma clipping, rejections can occur
+    anywhere in the sorted order, so the active set is a per-row mask rather
+    than a contiguous range; ranks are recomputed each round as an exclusive
+    prefix sum of the mask (dropping elements from a sorted list keeps it
+    sorted, so the reference's per-round re-sort is a no-op here)."""
+
+    def kernel(frames_ref, params_ref, out_ref, clip_ref):
+        sigma_low = params_ref[0]
+        sigma_high = params_ref[1]
+        ref_loc = params_ref[2]
+
+        rows = []
+        valid_rows = []
+        for i in range(n_pad):
+            if i < n_frames:
+                r = frames_ref[i, :]
+                ok = r == r
+                rows.append(jnp.where(ok, r, _BIG))
+                valid_rows.append(ok)
+            else:
+                rows.append(jnp.full((TILE,), _BIG, jnp.float32))
+        cnt0 = valid_rows[0].astype(jnp.int32)
+        for vr in valid_rows[1:]:
+            cnt0 = cnt0 + vr.astype(jnp.int32)
+        cnt0 = cnt0[None, :]
+
+        svals = jnp.stack(_bitonic_rows(rows))        # (n_pad, TILE)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TILE), 0)
+        ys = jnp.where(svals >= _BIG, 0.0, svals)     # padded entries -> 0
+        active0 = (row_idx < cnt0).astype(jnp.float32)
+
+        def body(state):
+            active, running_i, result, clo, chi, it = state
+            running = running_i > 0
+            cnt = jnp.sum(active, axis=0, keepdims=True)   # float
+            c = jnp.maximum(cnt, 1.0)
+
+            # exclusive prefix sum of the mask = rank among active values
+            # (Hillis-Steele scan: log2(n_pad) shifted adds along the
+            # sublane axis instead of an n_pad-long sequential chain)
+            xs = jnp.concatenate(
+                [jnp.zeros((1, TILE), jnp.float32), active[:-1]], axis=0)
+            d = 1
+            while d < n_pad:
+                xs = xs + jnp.concatenate(
+                    [jnp.zeros((d, TILE), jnp.float32), xs[:-d]], axis=0)
+                d *= 2
+
+            xmean = jnp.sum(active * xs, axis=0, keepdims=True) / c
+            ymean = jnp.sum(active * ys, axis=0, keepdims=True) / c
+            dx = xs - xmean
+            dy = ys - ymean
+            xvar = jnp.sum(active * dx * dx, axis=0, keepdims=True) / c
+            yvar = jnp.sum(active * dy * dy, axis=0, keepdims=True) / c
+            xstd = jnp.sqrt(xvar)
+            ystd = jnp.sqrt(yvar)
+            corr = jnp.sum(active * dx * dy, axis=0, keepdims=True)
+            corr = corr / (xstd * ystd * (c + 1.0) + 1e-30)
+            slope = corr * ystd / (xstd + 1e-30)
+            intercept = ymean - slope * xmean
+
+            resid = ys - (xs * slope + intercept)
+            sigma = jnp.sum(active * jnp.abs(resid), axis=0, keepdims=True) / c
+
+            amask = active > 0.0
+            rej_lo = amask & ((-resid) > sigma_low * sigma)
+            rej_hi = amask & (resid > sigma_high * sigma)
+            rej = rej_lo | rej_hi
+            n_rej = jnp.sum(rej.astype(jnp.float32), axis=0, keepdims=True)
+            n_rej = jnp.where(running, n_rej, 0.0)
+
+            stop = running & ((n_rej == 0.0) | (cnt < 3.0))
+            result = jnp.where(stop, ymean, result)
+            clo = clo + jnp.where(running,
+                                  jnp.sum(rej_lo.astype(jnp.float32), axis=0, keepdims=True), 0.0)
+            chi = chi + jnp.where(running,
+                                  jnp.sum(rej_hi.astype(jnp.float32), axis=0, keepdims=True), 0.0)
+            # only still-running, non-stopping lanes drop their rejects
+            # (the reference breaks before reslicing, stack.go:906-909)
+            drop = running & ~stop
+            new_active = jnp.where(drop, active * (1.0 - rej.astype(jnp.float32)), active)
+            return (new_active, (running & ~stop).astype(jnp.int32), result,
+                    clo, chi, it + 1)
+
+        def cond(state):
+            _, running_i, _, _, _, it = state
+            return jnp.logical_and(jnp.any(running_i > 0), it < n_frames + 1)
+
+        result0 = jnp.full((1, TILE), 1.0, jnp.float32) * ref_loc
+        zeros_f = jnp.zeros((1, TILE), jnp.float32)
+        state = (active0, (cnt0 > 0).astype(jnp.int32), result0, zeros_f, zeros_f, 0)
+        _, _, result, clo, chi, _ = jax.lax.while_loop(cond, body, state)
+
+        out_ref[0, :] = result[0, :]
+        clip_ref[0, :] = clo[0, :].astype(jnp.int32)
+        clip_ref[1, :] = chi[0, :].astype(jnp.int32)
+
+    return kernel
+
+
+@jax.jit
+def _stack_linfit_pallas(frames2d: jax.Array, params: jax.Array):
+    n, p = frames2d.shape
+    n_pad = max(_next_pow2(n), 8)
+    if n_pad > n:
+        frames2d = jnp.pad(frames2d, ((0, n_pad - n), (0, 0)), constant_values=jnp.nan)
+    n_tiles = p // TILE
+
+    out, clips = pl.pallas_call(
+        _make_linfit_kernel(n_pad, n),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_pad, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, p), jnp.float32),
+            jax.ShapeDtypeStruct((2, p), jnp.int32),
+        ],
+        interpret=INTERPRET,
+    )(frames2d, params)
+    return out[0], jnp.sum(clips[0]), jnp.sum(clips[1])
+
+
+def stack_linfit_pallas(frames: jax.Array, ref_frame_loc: float,
+                        sigma_low: float, sigma_high: float):
+    """Linear-fit stack via the Pallas kernel. frames: (N, ...) with NaN as
+    missing. Returns (stacked, clip_lo, clip_hi)."""
+    shape = frames.shape[1:]
+    flat = frames.reshape(frames.shape[0], -1)
+    p = flat.shape[1]
+    p_pad = ((p + TILE - 1) // TILE) * TILE
+    if p_pad > p:
+        flat = jnp.pad(flat, ((0, 0), (0, p_pad - p)), constant_values=jnp.nan)
+    params = jnp.asarray([sigma_low, sigma_high, ref_frame_loc], jnp.float32)
+    out, clo, chi = _stack_linfit_pallas(flat, params)
+    return out[:p].reshape(shape), clo, chi
+
+
 def stack_sigma_pallas(frames: jax.Array, ref_frame_loc: float,
                        sigma_low: float, sigma_high: float,
                        weights=None, winsorize: bool = False):

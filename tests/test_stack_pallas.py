@@ -63,3 +63,41 @@ class TestPallasVsXLA:
         out, _, _ = stack_sigma_pallas(jnp.asarray(f), 0.0, 2.75, 2.75)
         assert out.shape == (777,)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
+
+
+class TestLinfitPallas:
+    def test_linfit_matches_xla(self, rng):
+        from nightlight_tpu.ops.stack_pallas import stack_linfit_pallas
+
+        f = frames_with_nans(rng, n=26)  # auto mode picks LinearFit at >=25
+        ref, cl, ch = stk.stack(jnp.asarray(f), stk.StackMode.LinearFit,
+                                sigma_low=2.0, sigma_high=2.0, ref_frame_loc=7.0,
+                                use_pallas=False)
+        out, pcl, pch = stack_linfit_pallas(jnp.asarray(f), 7.0, 2.0, 2.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
+        assert int(pcl) == int(cl)
+        assert int(pch) == int(ch)
+        assert int(pcl) + int(pch) > 0  # the planted outliers were rejected
+
+    def test_linfit_all_nan_pixel_gets_ref_loc(self, rng):
+        from nightlight_tpu.ops.stack_pallas import stack_linfit_pallas
+
+        f = frames_with_nans(rng, n=26)
+        out, _, _ = stack_linfit_pallas(jnp.asarray(f), 42.5, 2.0, 2.0)
+        assert float(np.asarray(out)[0]) == pytest.approx(42.5)
+
+    def test_linfit_gradient_signal_survives(self, rng):
+        """Per-pixel linear drift over frames (e.g. sky brightening) must fit
+        and reject only the planted outliers, not the trend."""
+        from nightlight_tpu.ops.stack_pallas import stack_linfit_pallas
+
+        n, p = 30, 2048
+        base = rng.normal(100.0, 0.5, size=(n, p)).astype(np.float32)
+        drift = np.linspace(0.0, 5.0, n, dtype=np.float32)[:, None]
+        f = base + drift
+        f[4, :100] += 300.0  # outlier samples
+        ref, _, _ = stk.stack(jnp.asarray(f), stk.StackMode.LinearFit,
+                              sigma_low=3.0, sigma_high=3.0, use_pallas=False)
+        out, _, chi = stack_linfit_pallas(jnp.asarray(f), 0.0, 3.0, 3.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
+        assert int(chi) >= 100
