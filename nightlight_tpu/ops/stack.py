@@ -434,7 +434,8 @@ def stack(frames: jax.Array, mode: StackMode, weights=None,
     if mode == StackMode.Auto:
         mode = auto_select_mode(frames.shape[0])
     if use_pallas is None:
-        use_pallas = (mode in (StackMode.Sigma, StackMode.WinsorSigma, StackMode.LinearFit)
+        use_pallas = (mode in (StackMode.Sigma, StackMode.WinsorSigma, StackMode.LinearFit,
+                               StackMode.MADSigma, StackMode.Median)
                       and _pallas_available())
     if use_pallas and mode in (StackMode.Sigma, StackMode.WinsorSigma):
         from nightlight_tpu.ops.stack_pallas import stack_sigma_pallas
@@ -447,6 +448,19 @@ def stack(frames: jax.Array, mode: StackMode, weights=None,
         from nightlight_tpu.ops.stack_pallas import stack_linfit_pallas
 
         data, cl, ch = stack_linfit_pallas(flat, ref_frame_loc, sigma_low, sigma_high)
+        return data.reshape(shape), cl, ch
+    if use_pallas and mode == StackMode.Median:
+        # median stacking has no weighted variant (weights ignored, as in
+        # the XLA path and stack.go:274-303)
+        from nightlight_tpu.ops.stack_pallas import stack_single_pass_pallas
+
+        data, cl, ch = stack_single_pass_pallas(flat, ref_frame_loc, mad=False)
+        return data.reshape(shape), cl, ch
+    if use_pallas and mode == StackMode.MADSigma and weights is None:
+        from nightlight_tpu.ops.stack_pallas import stack_single_pass_pallas
+
+        data, cl, ch = stack_single_pass_pallas(
+            flat, ref_frame_loc, sigma_low, sigma_high, mad=True)
         return data.reshape(shape), cl, ch
     zero = jnp.int32(0)
     if mode == StackMode.Median:

@@ -306,6 +306,119 @@ def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
     return out[0], jnp.sum(clips[0]), jnp.sum(clips[1])
 
 
+def _make_single_pass_kernel(n_pad: int, n_frames: int, mad: bool):
+    """Median (stack.go:274-303) and single-pass MAD-sigma clipped mean
+    (stack.go:536-605) kernels: no clip iteration, so the body is one or two
+    bitonic sorts plus masked selections -- semantics of
+    ops.stack.stack_median / stack_mad_sigma."""
+
+    def kernel(frames_ref, params_ref, out_ref, clip_ref):
+        sigma_low = params_ref[0]
+        sigma_high = params_ref[1]
+        ref_loc = params_ref[2]
+
+        rows = []
+        valid_rows = []
+        for i in range(n_pad):
+            if i < n_frames:
+                r = frames_ref[i, :]
+                ok = r == r
+                rows.append(jnp.where(ok, r, _BIG))
+                valid_rows.append(ok)
+            else:
+                rows.append(jnp.full((TILE,), _BIG, jnp.float32))
+        cnt0 = valid_rows[0].astype(jnp.int32)
+        for vr in valid_rows[1:]:
+            cnt0 = cnt0 + vr.astype(jnp.int32)
+        cnt0 = cnt0[None, :]
+
+        svals = jnp.stack(_bitonic_rows(rows))
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TILE), 0)
+        in_cnt = row_idx < cnt0
+
+        def median_of(sorted_vals):
+            vals0 = jnp.where(sorted_vals >= _BIG, 0.0, sorted_vals)
+            c1 = jnp.maximum(cnt0, 1)
+            up = jnp.sum(jnp.where(row_idx == c1 // 2, vals0, 0.0),
+                         axis=0, keepdims=True)
+            lo_i = jnp.maximum(c1 // 2 - 1, 0)
+            lo = jnp.sum(jnp.where(row_idx == lo_i, vals0, 0.0),
+                         axis=0, keepdims=True)
+            return jnp.where(c1 % 2 == 1, up, 0.5 * (lo + up))
+
+        median = median_of(svals)
+
+        if not mad:
+            out_ref[0, :] = jnp.where(cnt0 > 0, median, ref_loc)[0, :]
+            clip_ref[0, :] = jnp.zeros((TILE,), jnp.int32)
+            clip_ref[1, :] = jnp.zeros((TILE,), jnp.int32)
+            return
+
+        dev_rows = [jnp.where(in_cnt[i, :], jnp.abs(svals[i, :] - median[0, :]), _BIG)
+                    for i in range(n_pad)]
+        sdev = jnp.stack(_bitonic_rows(dev_rows))
+        std = median_of(sdev) * 1.4826
+
+        lo_b = median - sigma_low * std
+        hi_b = median + sigma_high * std
+        keep = in_cnt & (svals >= lo_b) & (svals <= hi_b)
+        kept = jnp.sum(keep.astype(jnp.float32), axis=0, keepdims=True)
+        vals0 = jnp.where(svals >= _BIG, 0.0, svals)
+        mean = jnp.sum(jnp.where(keep, vals0, 0.0), axis=0, keepdims=True)
+        mean = mean / jnp.maximum(kept, 1.0)
+
+        out_ref[0, :] = jnp.where(cnt0 > 0, mean, ref_loc)[0, :]
+        clip_ref[0, :] = jnp.sum((in_cnt & (svals < lo_b)).astype(jnp.int32),
+                                 axis=0)
+        clip_ref[1, :] = jnp.sum(
+            (in_cnt & (svals > hi_b) & (svals < _BIG)).astype(jnp.int32), axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("mad",))
+def _stack_single_pass_pallas(frames2d: jax.Array, params: jax.Array, mad: bool):
+    n, p = frames2d.shape
+    n_pad = max(_next_pow2(n), 8)
+    if n_pad > n:
+        frames2d = jnp.pad(frames2d, ((0, n_pad - n), (0, 0)), constant_values=jnp.nan)
+    n_tiles = p // TILE
+    out, clips = pl.pallas_call(
+        _make_single_pass_kernel(n_pad, n, mad),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_pad, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, p), jnp.float32),
+            jax.ShapeDtypeStruct((2, p), jnp.int32),
+        ],
+        interpret=INTERPRET,
+    )(frames2d, params)
+    return out[0], jnp.sum(clips[0]), jnp.sum(clips[1])
+
+
+def stack_single_pass_pallas(frames: jax.Array, ref_frame_loc: float,
+                             sigma_low: float = 0.0, sigma_high: float = 0.0,
+                             mad: bool = False):
+    """Median (mad=False) or MAD-sigma clipped mean (mad=True) stack via the
+    single-pass Pallas kernel. Returns (stacked, clip_lo, clip_hi)."""
+    shape = frames.shape[1:]
+    flat = frames.reshape(frames.shape[0], -1)
+    p = flat.shape[1]
+    p_pad = ((p + TILE - 1) // TILE) * TILE
+    if p_pad > p:
+        flat = jnp.pad(flat, ((0, 0), (0, p_pad - p)), constant_values=jnp.nan)
+    params = jnp.asarray([sigma_low, sigma_high, ref_frame_loc], jnp.float32)
+    out, clo, chi = _stack_single_pass_pallas(flat, params, mad)
+    return out[:p].reshape(shape), clo, chi
+
+
 def _make_linfit_kernel(n_pad: int, n_frames: int):
     """Linear-fit clipping kernel (semantics of ops.stack.stack_linear_fit,
     mirroring stack.go:832-918). Unlike sigma clipping, rejections can occur

@@ -101,3 +101,28 @@ class TestLinfitPallas:
         out, _, chi = stack_linfit_pallas(jnp.asarray(f), 0.0, 3.0, 3.0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
         assert int(chi) >= 100
+
+
+class TestSinglePassPallas:
+    def test_median_matches_xla(self, rng):
+        from nightlight_tpu.ops.stack_pallas import stack_single_pass_pallas
+
+        f = frames_with_nans(rng, n=11)
+        ref, _, _ = stk.stack(jnp.asarray(f), stk.StackMode.Median,
+                              ref_frame_loc=7.0, use_pallas=False)
+        out, cl, ch = stack_single_pass_pallas(jnp.asarray(f), 7.0, mad=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-4)
+        assert int(cl) == 0 and int(ch) == 0
+        assert float(np.asarray(out)[0]) == pytest.approx(7.0)  # all-NaN pixel
+
+    def test_madsigma_matches_xla(self, rng):
+        from nightlight_tpu.ops.stack_pallas import stack_single_pass_pallas
+
+        f = frames_with_nans(rng, n=14)
+        ref, cl, ch = stk.stack(jnp.asarray(f), stk.StackMode.MADSigma,
+                                sigma_low=2.0, sigma_high=2.0, ref_frame_loc=7.0,
+                                use_pallas=False)
+        out, pcl, pch = stack_single_pass_pallas(jnp.asarray(f), 7.0, 2.0, 2.0, mad=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
+        assert int(pcl) == int(cl) and int(pch) == int(ch)
+        assert int(pch) > 0
