@@ -126,3 +126,55 @@ class TestSinglePassPallas:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
         assert int(pcl) == int(cl) and int(pch) == int(ch)
         assert int(pch) > 0
+
+
+class TestKernelFrameCountSweep:
+    """n_pad edge coverage: every kernel must match its XLA path at frame
+    counts straddling the pow2 padding boundaries.
+
+    Comparison is statistical, not bit-exact: when a clip threshold lands
+    EXACTLY on a sample (common at tiny counts, where the threshold is
+    computed from the few samples it tests), the last ulp of two
+    differently-ordered float32 computations decides whether one more clip
+    round runs. Both answers are valid; the Go reference would likewise
+    diverge from either. Allow <=0.5% of pixels to differ and clip counts
+    to differ by <=1%."""
+
+    @staticmethod
+    def _check(out, ref, pclips, clips, n):
+        out, ref = np.asarray(out), np.asarray(ref)
+        frac = float(np.mean(np.abs(out - ref) > 1e-3))
+        assert frac <= 0.005, (n, frac)
+        for pc, c in zip(pclips, clips):
+            assert abs(int(pc) - int(c)) <= max(2, 0.01 * max(int(c), 1)), n
+
+    @pytest.mark.parametrize("n", [5, 8, 9, 16, 17, 33])
+    def test_sigma_sweep(self, rng, n):
+        f = frames_with_nans(rng, n=n, p=sp.TILE)
+        ref, cl, ch = stk.stack(jnp.asarray(f), stk.StackMode.Sigma,
+                                sigma_low=2.0, sigma_high=2.0, ref_frame_loc=7.0,
+                                use_pallas=False)
+        out, pcl, pch = stack_sigma_pallas(jnp.asarray(f), 7.0, 2.0, 2.0)
+        self._check(out, ref, (pcl, pch), (cl, ch), n)
+
+    @pytest.mark.parametrize("n", [5, 9, 17, 33])
+    def test_linfit_sweep(self, rng, n):
+        from nightlight_tpu.ops.stack_pallas import stack_linfit_pallas
+
+        f = frames_with_nans(rng, n=n, p=sp.TILE)
+        ref, cl, ch = stk.stack(jnp.asarray(f), stk.StackMode.LinearFit,
+                                sigma_low=2.0, sigma_high=2.0, ref_frame_loc=7.0,
+                                use_pallas=False)
+        out, pcl, pch = stack_linfit_pallas(jnp.asarray(f), 7.0, 2.0, 2.0)
+        self._check(out, ref, (pcl, pch), (cl, ch), n)
+
+    @pytest.mark.parametrize("n", [5, 9, 17])
+    def test_madsigma_sweep(self, rng, n):
+        from nightlight_tpu.ops.stack_pallas import stack_single_pass_pallas
+
+        f = frames_with_nans(rng, n=n, p=sp.TILE)
+        ref, cl, ch = stk.stack(jnp.asarray(f), stk.StackMode.MADSigma,
+                                sigma_low=2.0, sigma_high=2.0, ref_frame_loc=7.0,
+                                use_pallas=False)
+        out, pcl, pch = stack_single_pass_pallas(jnp.asarray(f), 7.0, 2.0, 2.0, mad=True)
+        self._check(out, ref, (pcl, pch), (cl, ch), n)
