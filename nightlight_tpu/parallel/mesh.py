@@ -70,6 +70,95 @@ def _pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
     return stacked, clip_lo, clip_hi
 
 
+def _warp_frames(frames, invs):
+    """Per-frame affine bilinear warp with NaN out-of-bounds fill (the
+    alignment phase, internal/fits/project.go:26-76), vmapped over frames.
+    invs: (N, 6) inverse transforms [a, b, c, d, e, f]."""
+    _, h, w = frames.shape
+    col = jnp.arange(w, dtype=jnp.float32)[None, :]
+    row = jnp.arange(h, dtype=jnp.float32)[:, None]
+
+    def one(img, inv):
+        px = inv[0] * col + inv[1] * row + inv[2]
+        py = inv[3] * col + inv[4] * row + inv[5]
+        xl = jnp.floor(px)
+        yl = jnp.floor(py)
+        xr = px - xl
+        yr = py - yl
+        xl_i = xl.astype(jnp.int32)
+        yl_i = yl.astype(jnp.int32)
+        oob = (xl_i < 0) | (xl_i + 1 >= w) | (yl_i < 0) | (yl_i + 1 >= h)
+        xc = jnp.clip(xl_i, 0, w - 2)
+        yc = jnp.clip(yl_i, 0, h - 2)
+        v00 = img[yc, xc]
+        v01 = img[yc, xc + 1]
+        v10 = img[yc + 1, xc]
+        v11 = img[yc + 1, xc + 1]
+        v = ((v00 * (1 - xr) + v01 * xr) * (1 - yr)
+             + (v10 * (1 - xr) + v11 * xr) * yr)
+        return jnp.where(oob, jnp.nan, v)
+
+    return jax.vmap(one)(frames, invs)
+
+
+def _full_pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
+                        loc0, scale0, invs, sigma_low, sigma_high, mode: int,
+                        use_pallas: bool = False):
+    """The complete per-batch device program: calibrate + histogram-match +
+    align-warp + outlier-rejection stack. The warp's bilinear gather is the
+    one phase whose row-sharded reads cross shard boundaries (a frame's
+    pixels move between rows under the transform); XLA resolves it with a
+    collective on the frames operand, so only this phase pays ICI traffic."""
+    cal = frames - dark[None]
+    cal = jnp.where(flat[None] <= 0.0, cal, cal * flat_max / flat[None])
+    mult = (ref_scales / scale0)[:, None, None]
+    off = (ref_locs - loc0 * (ref_scales / scale0))[:, None, None]
+    matched = cal * mult + off
+    warped = _warp_frames(matched, invs)
+    stacked, clip_lo, clip_hi = stk.stack(
+        warped, stk.StackMode(mode), weights=weights,
+        sigma_low=sigma_low, sigma_high=sigma_high, ref_frame_loc=loc0,
+        use_pallas=use_pallas)
+    return stacked, clip_lo, clip_hi
+
+
+def sharded_full_pipeline_step(mesh: Mesh, mode: int = int(stk.StackMode.Sigma),
+                               axis: str = "pix"):
+    """Jit the calibrate+match+warp+stack step with row sharding over the
+    mesh. Returns the compiled function."""
+    data_sharding = NamedSharding(mesh, P(None, axis, None))
+    out_sharding = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    plane = NamedSharding(mesh, P(axis, None))
+
+    return jax.jit(
+        partial(_full_pipeline_step, mode=mode),
+        in_shardings=(data_sharding, plane, plane, rep, rep, rep, rep, rep, rep,
+                      rep, rep, rep),
+        out_shardings=(out_sharding, rep, rep),
+    )
+
+
+def run_sharded_full_stack(frames: np.ndarray, dark: np.ndarray, flat: np.ndarray,
+                           invs: np.ndarray, mesh: Mesh | None = None,
+                           mode: int = int(stk.StackMode.Sigma),
+                           sigma_low: float = 2.75, sigma_high: float = 2.75):
+    """Place host frames on the mesh and run one full calibrate+match+warp+
+    stack step. invs: (N, 6) inverse alignment transforms."""
+    if mesh is None:
+        mesh = make_mesh()
+    n = frames.shape[0]
+    fn = sharded_full_pipeline_step(mesh, mode)
+    dev_frames = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+    plane = NamedSharding(mesh, P("pix", None))
+    ones = jnp.ones(n, jnp.float32)
+    return fn(dev_frames, jax.device_put(jnp.asarray(dark), plane),
+              jax.device_put(jnp.asarray(flat), plane), jnp.float32(flat.max()),
+              ones, ones, ones, jnp.float32(1.0), jnp.float32(1.0),
+              jnp.asarray(invs, jnp.float32),
+              jnp.float32(sigma_low), jnp.float32(sigma_high))
+
+
 def sharded_pipeline_step(mesh: Mesh, mode: int = int(stk.StackMode.Sigma), axis: str = "pix"):
     """Jit the full calibrate+match+stack step with row sharding over the
     mesh. Returns the compiled function."""

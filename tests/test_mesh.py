@@ -76,3 +76,49 @@ class TestShardedStack:
                            jnp.float32(1.0), jnp.float32(1.0),
                            jnp.float32(2.75), jnp.float32(2.75))
             assert np.isfinite(np.asarray(out)).all(), mode
+
+
+class TestShardedFullStep:
+    """calibrate+match+WARP+stack: the warp's gather crosses row shards
+    (pixels move between rows under the transform), so this exercises the
+    collective XLA inserts on the frames operand."""
+
+    def test_full_step_matches_single_device(self, mesh, rng):
+        frames, dark, flat = _mk_inputs(rng, n=6, h=64, w=48)
+        # per-frame pure translations: frame i shifted by (i, -i); the
+        # inverse transform maps dest->src coordinates
+        invs = np.array([[1.0, 0.0, float(i), 0.0, 1.0, float(-i)]
+                         for i in range(6)], np.float32)
+        from nightlight_tpu.parallel.mesh import (
+            _full_pipeline_step, run_sharded_full_stack)
+
+        stacked, lo, hi = run_sharded_full_stack(frames, dark, flat, invs, mesh=mesh)
+
+        ones = jnp.ones(6, jnp.float32)
+        ref, rlo, rhi = _full_pipeline_step(
+            jnp.asarray(frames), jnp.asarray(dark), jnp.asarray(flat),
+            jnp.float32(flat.max()), ones, ones, ones,
+            jnp.float32(1.0), jnp.float32(1.0), jnp.asarray(invs),
+            jnp.float32(2.75), jnp.float32(2.75), mode=int(stk.StackMode.Sigma))
+
+        out, expect = np.asarray(stacked), np.asarray(ref)
+        # edge rows/cols are NaN where all warps fell out of bounds
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(expect))
+        m = ~np.isnan(expect)
+        np.testing.assert_allclose(out[m], expect[m], rtol=0, atol=1e-5)
+        assert (int(lo), int(hi)) == (int(rlo), int(rhi))
+
+    def test_identity_warp_equals_plain_step(self, mesh, rng):
+        frames, dark, flat = _mk_inputs(rng, n=8)
+        invs = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), (8, 1))
+        from nightlight_tpu.parallel.mesh import run_sharded_full_stack
+
+        full, flo, fhi = run_sharded_full_stack(frames, dark, flat, invs, mesh=mesh)
+        plain, plo, phi = run_sharded_stack(frames, dark, flat, mesh=mesh)
+        # bilinear sampling needs the x+1/y+1 neighbor, so the last row and
+        # column are out-of-bounds even under an identity transform -- the
+        # reason the reference's align op skips identity transforms entirely
+        # (postprocess.go:148-156). Compare the interior.
+        np.testing.assert_allclose(np.asarray(full)[:-1, :-1],
+                                   np.asarray(plain)[:-1, :-1],
+                                   rtol=0, atol=1e-5)
