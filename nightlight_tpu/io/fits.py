@@ -24,8 +24,10 @@ from __future__ import annotations
 import gzip
 import re
 import sys
+from functools import partial
 from typing import BinaryIO
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -185,14 +187,49 @@ def _read_payload(img: Image, f: BinaryIO, pixels: int, log, to_device: bool) ->
     if len(raw) < pixels * dtype.itemsize:
         raise ValueError(f"{img.id}: unexpected EOF in FITS data")
 
+    shape = tuple(reversed(img.naxisn))
+
+    if to_device and img.bitpix in (8, 16):
+        # Device-side decode fast path: host->device bandwidth is the
+        # dominant per-frame cost (BASELINE.md), so upload the RAW integer
+        # payload (half/quarter the bytes of float32) and do byteswap +
+        # bscale/bzero fold-in on device. Statistics stay lazy; the load
+        # log's min/mean/max resolve in one batched device fetch instead of
+        # the host pass. Math matches the host path: int->f32 is exact,
+        # then v*bscale+bzero in f32 (read.go:205).
+        img.data = _decode_int_on_device(
+            raw, img.bitpix, pixels, img.bscale, img.bzero).reshape(shape)
+        img.bzero, img.bscale = 0.0, 1.0
+        img.stats = Stats(img.data, img.naxisn[0])
+        return img
+
     data, vmin, vmean, vmax = decode_payload(raw, dtype, pixels, img.bscale, img.bzero)
     img.bzero, img.bscale = 0.0, 1.0  # values are folded in now (read.go:205)
 
-    shape = tuple(reversed(img.naxisn))
     data = data.reshape(shape)
     img.data = jnp.asarray(data) if to_device else data
     img.stats = Stats.with_mmm(img.data, img.naxisn[0], vmin, vmax, vmean)
     return img
+
+
+@partial(jax.jit, static_argnames=("bitpix",))
+def _device_int_decode(v, bitpix: int, bscale, bzero):
+    if bitpix == 16:
+        # FITS payloads are big-endian: byteswap the uint16 view, then
+        # reinterpret as signed
+        swapped = ((v << 8) | (v >> 8)).astype(jnp.uint16)
+        ints = jax.lax.bitcast_convert_type(swapped, jnp.int16)
+    else:
+        ints = v  # uint8 has no byte order
+    return ints.astype(jnp.float32) * bscale + bzero
+
+
+def _decode_int_on_device(raw: bytes, bitpix: int, pixels: int,
+                          bscale: float, bzero: float) -> jax.Array:
+    dtype = "<u2" if bitpix == 16 else np.uint8
+    host = np.frombuffer(raw, dtype=dtype, count=pixels)  # zero-copy view
+    return _device_int_decode(jnp.asarray(host), bitpix,
+                              jnp.float32(bscale), jnp.float32(bzero))
 
 
 def decode_payload(raw: bytes, dtype: np.dtype, pixels: int, bscale: float, bzero: float):
