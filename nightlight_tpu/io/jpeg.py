@@ -12,7 +12,13 @@ from PIL import Image as PILImage
 from nightlight_tpu.image import Image
 
 
-def _scaled_u8(data: np.ndarray, vmin: float, vmax: float, gamma: float) -> np.ndarray:
+def _scaled_u8(data, vmin: float, vmax: float, gamma: float) -> np.ndarray:
+    if not isinstance(data, np.ndarray):
+        # device-resident image: quantize on device, read back 4x fewer
+        # bytes over the slow device->host path
+        from nightlight_tpu.ops.pixelmath import quantize_for_export
+
+        return np.asarray(quantize_for_export(data, vmin, vmax, float(gamma), 255.0))
     scale = 1.0 / (vmax - vmin)
     d = (data - vmin) * scale
     d = np.nan_to_num(d, nan=0.0)
@@ -25,7 +31,7 @@ def _scaled_u8(data: np.ndarray, vmin: float, vmax: float, gamma: float) -> np.n
 def write_jpg(img: Image, file_name: str, vmin: float, vmax: float, gamma: float = 1.0,
               quality: int = 95) -> None:
     """Write color 8-bit JPEG (writejpg.go:29-89)."""
-    u8 = _scaled_u8(img.to_numpy(), vmin, vmax, gamma)  # (3, H, W)
+    u8 = _scaled_u8(img.data, vmin, vmax, gamma)  # (3, H, W)
     pil = PILImage.fromarray(np.transpose(u8, (1, 2, 0)), mode="RGB")
     pil.save(file_name, format="JPEG", quality=quality)
 
@@ -33,6 +39,6 @@ def write_jpg(img: Image, file_name: str, vmin: float, vmax: float, gamma: float
 def write_mono_jpg(img: Image, file_name: str, vmin: float, vmax: float, gamma: float = 1.0,
                    quality: int = 95) -> None:
     """Write mono 8-bit JPEG (writejpg.go:92-133)."""
-    u8 = _scaled_u8(img.to_numpy(), vmin, vmax, gamma)
+    u8 = _scaled_u8(img.data, vmin, vmax, gamma)
     pil = PILImage.fromarray(u8, mode="L")
     pil.save(file_name, format="JPEG", quality=quality)

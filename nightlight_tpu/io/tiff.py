@@ -15,20 +15,25 @@ from nightlight_tpu.image import Image
 from nightlight_tpu.ops.stats import Stats
 
 
-def _scale_for_export(data: np.ndarray, vmin: float, vmax: float, gamma: float) -> np.ndarray:
+def _scaled_u16(data, vmin: float, vmax: float, gamma: float) -> np.ndarray:
+    if not isinstance(data, np.ndarray):
+        # device-resident image: quantize on device, read back 2x fewer
+        # bytes over the slow device->host path
+        from nightlight_tpu.ops.pixelmath import quantize_for_export
+
+        return np.asarray(quantize_for_export(data, vmin, vmax, float(gamma), 65535.0))
     scale = 1.0 / (vmax - vmin)
     d = (data - vmin) * scale
     d = np.nan_to_num(d, nan=0.0)
     d = np.clip(d, 0.0, 1.0)
     if gamma != 1.0:
         d = d ** (1.0 / gamma)
-    return d
+    return (d * 65535.0).astype(np.uint16)
 
 
 def write_tiff16(img: Image, file_name: str, vmin: float, vmax: float, gamma: float = 1.0) -> None:
     """Write color 16-bit uncompressed TIFF (tiff16.go:31-91)."""
-    d = _scale_for_export(img.to_numpy(), vmin, vmax, gamma)
-    u16 = (d * 65535.0).astype(np.uint16)  # (3, H, W)
+    u16 = _scaled_u16(img.data, vmin, vmax, gamma)  # (3, H, W)
     # PIL lacks a native RGB;16 mode; write three 16-bit channels by merging
     # I;16 planes into an RGB TIFF via the 'I;16' trick per channel is lossy.
     # Instead assemble raw RGB 16-bit data directly.
@@ -45,8 +50,7 @@ def write_tiff16(img: Image, file_name: str, vmin: float, vmax: float, gamma: fl
 
 def write_mono_tiff16(img: Image, file_name: str, vmin: float, vmax: float, gamma: float = 1.0) -> None:
     """Write mono 16-bit uncompressed TIFF (tiff16.go:94-130)."""
-    d = _scale_for_export(img.to_numpy(), vmin, vmax, gamma)
-    u16 = (d * 65535.0).astype(np.uint16)
+    u16 = _scaled_u16(img.data, vmin, vmax, gamma)
     pil = PILImage.fromarray(u16, mode="I;16")
     pil.save(file_name, format="TIFF", compression=None)
 

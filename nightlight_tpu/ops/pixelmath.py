@@ -127,3 +127,21 @@ def set_black_white(data: jax.Array, black_perc: float, white_perc: float,
 
     out = jnp.clip((data - black_x) / (white_x - black_x), 0.0, 1.0)
     return out, black_x, white_x, black_pixels / n, white_pixels / n
+
+
+@partial(jax.jit, static_argnames=("gamma", "levels"))
+def quantize_for_export(data: jax.Array, vmin, vmax, gamma: float, levels: float) -> jax.Array:
+    """Device-side export quantization: v' = clip((v-min)*scale, 0, 1)
+    [** (1/gamma)] scaled to uint8/uint16 (writejpg.go:43-133,
+    tiff16.go:45-91). Quantizing on device before the device->host copy
+    moves 4x (u8) / 2x (u16) fewer bytes over the slow readback path.
+    gamma is static so gamma==1.0 skips the pow exactly, like the host
+    path."""
+    scale = 1.0 / (vmax - vmin)
+    d = (data - vmin) * scale
+    d = jnp.nan_to_num(d, nan=0.0)
+    d = jnp.clip(d, 0.0, 1.0)
+    if gamma != 1.0:
+        d = d ** (1.0 / gamma)
+    out = d * levels
+    return out.astype(jnp.uint8 if levels <= 255.0 else jnp.uint16)
