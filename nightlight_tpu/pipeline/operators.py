@@ -205,12 +205,16 @@ class OpLoad(Operator):
         import jax.numpy as jnp
 
         if self._prefetcher is not None:
+            # prefetched images were decoded host-side on numpy-only threads;
+            # upload on the consuming thread (the one device-access thread)
             f = self._prefetcher.get(self.file_name)
+            f.data = jnp.asarray(f.data)
         else:
+            # direct load: integer payloads upload raw and decode on device
+            # (half the host->device bytes for BITPIX 16, fits.py)
             from nightlight_tpu.io.fits import read_file
 
-            f = read_file(self.file_name, id=self.id, log=c.log, to_device=False)
-        f.data = jnp.asarray(f.data)  # upload on the consuming thread
+            f = read_file(self.file_name, id=self.id, log=c.log, to_device=True)
         if f.stats is not None:
             f.stats.replace_data(f.data)
             f.stats.mode = c.ls_estimator_mode
