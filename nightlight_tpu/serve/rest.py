@@ -22,6 +22,13 @@ from nightlight_tpu.ops.stats import LSEstimatorMode
 
 _st_memory = 0  # like rest.stMemory (serve.go:33)
 
+# One job at a time: each request handler runs on its own thread, but jobs
+# issue device work and mutate working-directory files; concurrent device
+# access is also rejected outright by some backends. The reference leaves
+# this racy (serve.go:33 "Not thread safe"); we serialize instead. Waiting
+# requests stream nothing until the lock is theirs.
+_job_lock = threading.Lock()
+
 
 class _ChunkedLogWriter(io.TextIOBase):
     """File-like writer that streams each write as an HTTP chunk, making the
@@ -158,14 +165,15 @@ class Handler(BaseHTTPRequestHandler):
             return
         log.write("Arguments:\n" + op.to_json() + "\n")
         c = new_context(log=log, st_memory=_st_memory, ls_mode=LSEstimatorMode.SCMedianQn)
-        try:
-            promises = op.make_promises([], c)
-            _, err = materialize_all(promises, c.max_threads, True)
-            c.finalize()
-            if err is not None:
-                log.write(f"Error materializing promises: {err}\n")
-        except Exception as e:  # noqa: BLE001
-            log.write(f"Error making promises: {e}\n")
+        with _job_lock:
+            try:
+                promises = op.make_promises([], c)
+                _, err = materialize_all(promises, c.max_threads, True)
+                c.finalize()
+                if err is not None:
+                    log.write(f"Error materializing promises: {err}\n")
+            except Exception as e:  # noqa: BLE001
+                log.write(f"Error making promises: {e}\n")
         log.close_chunks()
 
     def log_message(self, fmt, *args):  # quiet default request logging

@@ -82,3 +82,34 @@ class TestREST:
         url, _ = server
         with urllib.request.urlopen(url + "/") as resp:
             assert b"visual job editor" in resp.read()
+
+
+class TestConcurrentJobs:
+    def test_two_simultaneous_jobs_serialize(self, server, tmp_path, rng):
+        """Jobs must run one at a time (device access + cwd mutation are not
+        concurrency-safe); both requests still complete and stream logs."""
+        import threading
+        import urllib.request
+
+        url, _ = server
+        from tests.test_pipeline_e2e import write_frames
+        write_frames(tmp_path, rng, n_frames=2, h=128, w=128)
+
+        job = json.dumps({"type": "seq", "steps": [
+            {"type": "loadMany", "filePatterns": ["light*.fits"]},
+        ]}).encode()
+
+        bodies = [None, None]
+
+        def post(i):
+            req = urllib.request.Request(url + "/api/v1/job", data=job, method="POST")
+            with urllib.request.urlopen(req) as resp:
+                bodies[i] = resp.read().decode()
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        for b in bodies:
+            assert b is not None and "Loaded" in b and "Error" not in b, b
