@@ -4,6 +4,8 @@ Each vectorized device mode is checked against a direct per-pixel golden model
 of the reference algorithm's semantics (internal/ops/stack/stack.go), on small
 random inputs including NaNs."""
 
+import warnings
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -127,7 +129,11 @@ class TestSimpleModes:
     def test_mean(self, rng):
         f = rand_frames(rng)
         out, _, _ = stk.stack(jnp.asarray(f), stk.StackMode.Mean, ref_frame_loc=42.0)
-        expected = np.where(np.all(np.isnan(f), 0), 42.0, np.nanmean(np.where(np.isnan(f), np.nan, f), 0))
+        with np.errstate(all="ignore"), warnings.catch_warnings():
+            # all-NaN columns warn inside nanmean; their values are replaced
+            warnings.simplefilter("ignore", RuntimeWarning)
+            expected = np.where(np.all(np.isnan(f), 0), 42.0,
+                                np.nanmean(np.where(np.isnan(f), np.nan, f), 0))
         np.testing.assert_allclose(np.asarray(out), expected.astype(np.float32), rtol=1e-5)
 
     def test_median(self, rng):
