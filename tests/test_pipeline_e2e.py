@@ -246,3 +246,36 @@ class TestLRGBCommand:
         out = capsys.readouterr().out
         assert rc == -1
         assert "inputs" in out or "channels" in out
+
+
+class TestReferenceSelectionModes:
+    def test_numeric_align_ref(self, tmp_path, rng, capsys):
+        """-alignRef <n> pins the reference to frame n (refframe.go:168-177)."""
+        write_frames(tmp_path, rng, n_frames=3)
+        rc = run_cli(["-out", "s.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-alignRef", "0", "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "Using image 0 with score 0 as alignment reference." in out
+
+    def test_external_file_align_ref(self, tmp_path, rng, capsys):
+        """-alignRef <file> loads + star-detects an external reference
+        without materializing the inputs (refframe.go:118-151)."""
+        write_frames(tmp_path, rng, n_frames=3)
+        # external reference: same field, unshifted
+        write_frames(tmp_path, rng, n_frames=1, prefix="ref")
+        rc = run_cli(["-out", "s.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-alignRef", "ref00.fits", "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "using loaded image -3 as alignment reference" in out
+        # every input frame gets aligned against the external field
+        assert out.count("Transform") >= 2
+
+    def test_invalid_numeric_ref_fails(self, tmp_path, rng, capsys):
+        write_frames(tmp_path, rng, n_frames=2)
+        rc = run_cli(["-out", "s.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-alignRef", "9", "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == -1
+        assert "invalid reference file ID 9" in out
