@@ -279,3 +279,45 @@ class TestReferenceSelectionModes:
         out = capsys.readouterr().out
         assert rc == -1
         assert "invalid reference file ID 9" in out
+
+
+class TestCalibrationAndIntermediateSaves:
+    def test_dark_flat_and_save_patterns(self, tmp_path, rng, capsys):
+        """-dark/-flat calibration plus every intermediate save pattern
+        (-pre/-stars/-post, main.go:62-66) produces the expected files."""
+        write_frames(tmp_path, rng, n_frames=3, bg=150.0)
+        # master dark: flat 50 ADU offset; master flat: unity
+        dark = Image.from_naxisn([256, 256], jnp.full((256, 256), 50.0, jnp.float32))
+        dark.exposure = 60.0
+        nlfits.write_file(dark, str(tmp_path / "dark.fits"))
+        flat = Image.from_naxisn([256, 256], jnp.ones((256, 256), jnp.float32))
+        nlfits.write_file(flat, str(tmp_path / "flat.fits"))
+
+        rc = run_cli(["-out", "cal.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-dark", "dark.fits", "-flat", "flat.fits",
+                      "-pre", "pre%04d.fits", "-stars", "stars%04d.fits",
+                      "-post", "post%04d.fits",
+                      "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        for i in range(3):
+            assert (tmp_path / f"pre{i:04d}.fits").exists()
+            assert (tmp_path / f"stars{i:04d}.fits").exists()
+        # post frames exist for the aligned (non-reference) frames at least
+        assert any((tmp_path / f"post{i:04d}.fits").exists() for i in range(3))
+
+        # dark subtraction: background drops from 150 to ~100
+        pre = nlfits.read_file(str(tmp_path / "pre0000.fits"), to_device=False).to_numpy()
+        assert abs(np.median(pre) - 100.0) < 5.0
+        final = nlfits.read_file(str(tmp_path / "cal.fits"), to_device=False).to_numpy()
+        assert abs(np.median(final) - 100.0) < 5.0
+
+    def test_dark_dimension_mismatch_fails(self, tmp_path, rng, capsys):
+        write_frames(tmp_path, rng, n_frames=2)
+        dark = Image.from_naxisn([128, 128], jnp.full((128, 128), 50.0, jnp.float32))
+        nlfits.write_file(dark, str(tmp_path / "dark.fits"))
+        rc = run_cli(["-out", "cal.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-dark", "dark.fits", "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == -1
+        assert "dimensions" in out.lower() or "size" in out.lower(), out
