@@ -51,7 +51,11 @@ def write_tiff16(img: Image, file_name: str, vmin: float, vmax: float, gamma: fl
 def write_mono_tiff16(img: Image, file_name: str, vmin: float, vmax: float, gamma: float = 1.0) -> None:
     """Write mono 16-bit uncompressed TIFF (tiff16.go:94-130)."""
     u16 = _scaled_u16(img.data, vmin, vmax, gamma)
-    pil = PILImage.fromarray(u16, mode="I;16")
+    # PIL deprecated fromarray(mode=...); build the 16-bit image from the
+    # raw little-endian buffer instead
+    h, w = u16.shape
+    pil = PILImage.frombuffer("I;16", (w, h), np.ascontiguousarray(u16).astype("<u2").tobytes(),
+                              "raw", "I;16", 0, 1)
     pil.save(file_name, format="TIFF", compression=None)
 
 

@@ -321,3 +321,54 @@ class TestCalibrationAndIntermediateSaves:
         out = capsys.readouterr().out
         assert rc == -1
         assert "dimensions" in out.lower() or "size" in out.lower(), out
+
+
+class TestCLIWiring:
+    def test_deband_binning_tiff(self, tmp_path, rng, capsys):
+        """-debandH/-debandV, -binning, and -tiff flags through the stack DAG.
+        Stars need fwhm ~2x normal so they stay well-sampled after the 2x2
+        bin (detection runs post-bin, preprocess DAG order)."""
+        for i in range(3):
+            stars = [(2 * x + 3.0 * i, 2 * y - 2.0 * i) for (x, y) in STAR_POS]
+            img = synth_field(rng, h=512, w=512, stars=stars, bg=100.0, noise=2.0,
+                              flux=30000.0, fwhm=16.0)
+            im = Image.from_naxisn([512, 512], jnp.asarray(img))
+            im.exposure = 60.0
+            nlfits.write_file(im, str(tmp_path / f"light{i:02d}.fits"))
+        rc = run_cli(["-out", "s.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-tiff", "s.tif",
+                      "-debandH", "50", "-debandV", "50", "-binning", "2",
+                      "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        s = nlfits.read_file(str(tmp_path / "s.fits"), to_device=False)
+        assert s.naxisn == [256, 256]  # 2x2 binned
+        assert (tmp_path / "s.tif").exists()
+        from PIL import Image as PILImage
+        assert PILImage.open(str(tmp_path / "s.tif")).size == (256, 256)
+
+    def test_stretch_blur_and_usm(self, tmp_path, rng, capsys):
+        write_frames(tmp_path, rng, n_frames=1)
+        rc = run_cli(["-out", "st.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-blurSigma", "1.5", "-usmGain", "0.5", "-usmSigma", "1.0",
+                      "-usmThresh", "0.5",
+                      "stretch", "light00.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert (tmp_path / "st.fits").exists()
+
+    def test_min_stars_filter_drops_frames(self, tmp_path, rng, capsys):
+        """-minStars drops star-poor frames (filter.go:48-51); a frame of
+        pure noise has no stars and must be filtered out."""
+        write_frames(tmp_path, rng, n_frames=3)
+        blank = Image.from_naxisn(
+            [256, 256],
+            jnp.asarray(rng.normal(100.0, 2.0, (256, 256)).astype(np.float32)))
+        blank.exposure = 60.0
+        nlfits.write_file(blank, str(tmp_path / "light99.fits"))
+        rc = run_cli(["-out", "s.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-minStars", "5", "stack", "light*.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "below threshold 5, skipping frame" in out
+        assert "Stacking 3 frames" in out  # 4 loaded, 1 dropped
