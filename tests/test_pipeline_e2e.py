@@ -372,3 +372,27 @@ class TestCLIWiring:
         assert rc == 0, out
         assert "below threshold 5, skipping frame" in out
         assert "Stacking 3 frames" in out  # 4 loaded, 1 dropped
+
+
+class TestRGBFlagWiring:
+    def test_rgb_with_color_adjustments(self, tmp_path, rng, capsys):
+        """Non-default -scnr/-chroma*/-rot*/-neutSigma* values flow through
+        the rgb preset's HSL chain (main.go:358-393)."""
+        for ch, gain in (("r", 1.0), ("g", 0.8), ("b", 0.6)):
+            img = synth_field(rng, h=128, w=128, stars=STAR_POS[:6], bg=100.0 * gain,
+                              noise=1.0, flux=8000.0 * gain)
+            im = Image.from_naxisn([128, 128], jnp.asarray(img))
+            im.exposure = 60.0
+            nlfits.write_file(im, str(tmp_path / f"chan_{ch}.fits"))
+        rc = run_cli(["-out", "rgb.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                      "-scnr", "0.5", "-chromaGamma", "1.5", "-chromaBy", "1.2",
+                      "-rotBy", "20", "-neutSigmaLow", "0.5", "-neutSigmaHigh", "1.0",
+                      "-lumScale", "0.9", "-scaleBlack", "2.0",
+                      "rgb", "chan_r.fits", "chan_g.fits", "chan_b.fits"], tmp_path)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        rgb = nlfits.read_file(str(tmp_path / "rgb.fits"), to_device=False)
+        assert rgb.naxisn == [128, 128, 3]
+        d = rgb.to_numpy()
+        assert np.isfinite(d).all()
+        assert 0.0 <= d.min() and d.max() <= 1.0
