@@ -122,6 +122,102 @@ def _full_pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_sca
     return stacked, clip_lo, clip_hi
 
 
+def _warp_frames_halo(frames, invs, mesh: Mesh, halo: int, axis: str = "pix"):
+    """Row-sharded affine warp with HALO EXCHANGE instead of a gather
+    collective: each shard ppermutes its boundary rows to its neighbors
+    (2 x halo x W words over ICI) and warps locally, instead of XLA
+    all-gathering whole frames. Alignment displacements in stacking are
+    small (a few pixels of dither), so a fixed halo covers them; source
+    pixels beyond the halo produce NaN -- the same missing-data protocol as
+    out-of-bounds pixels, which the stacker already skips.
+
+    frames: (N, H, W) sharded P(None, axis, None). invs: (N, 6) replicated.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_shards = int(mesh.devices.size)
+    _, h, w = frames.shape
+    rows_per = h // n_shards
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]  # my bottom rows -> next shard's top halo
+    bwd = [(i, i - 1) for i in range(1, n_shards)]   # my top rows -> previous shard's bottom halo
+
+    def local_warp(fl, invs):
+        # fl: (N, rows_per, W) local block
+        idx = jax.lax.axis_index(axis)
+        recv_top = jax.lax.ppermute(fl[:, -halo:, :], axis, fwd)   # rows above my block
+        recv_bot = jax.lax.ppermute(fl[:, :halo, :], axis, bwd)    # rows below my block
+        padded = jnp.concatenate([recv_top, fl, recv_bot], axis=1)  # (N, halo+rows+halo, W)
+        start = idx * rows_per  # first global row of my block
+
+        col = jnp.arange(w, dtype=jnp.float32)[None, :]
+        g_row = (start + jnp.arange(rows_per)).astype(jnp.float32)[:, None]
+
+        def one(img, inv):
+            px = inv[0] * col + inv[1] * g_row + inv[2]
+            py = inv[3] * col + inv[4] * g_row + inv[5]
+            xl = jnp.floor(px)
+            yl = jnp.floor(py)
+            xr = px - xl
+            yr = py - yl
+            xl_i = xl.astype(jnp.int32)
+            yl_i = yl.astype(jnp.int32)
+            # global out-of-bounds (project.go:52-61) OR beyond the halo
+            yl_loc = yl_i - start + halo
+            oob = ((xl_i < 0) | (xl_i + 1 >= w) | (yl_i < 0) | (yl_i + 1 >= h)
+                   | (yl_loc < 0) | (yl_loc + 1 >= rows_per + 2 * halo))
+            xc = jnp.clip(xl_i, 0, w - 2)
+            yc = jnp.clip(yl_loc, 0, rows_per + 2 * halo - 2)
+            v00 = img[yc, xc]
+            v01 = img[yc, xc + 1]
+            v10 = img[yc + 1, xc]
+            v11 = img[yc + 1, xc + 1]
+            v = ((v00 * (1 - xr) + v01 * xr) * (1 - yr)
+                 + (v10 * (1 - xr) + v11 * xr) * yr)
+            return jnp.where(oob, jnp.nan, v)
+
+        return jax.vmap(one)(padded, invs)
+
+    return shard_map(
+        local_warp, mesh=mesh,
+        in_specs=(P(None, axis, None), P()),
+        out_specs=P(None, axis, None),
+    )(frames, invs)
+
+
+def sharded_full_pipeline_step_halo(mesh: Mesh, mode: int = int(stk.StackMode.Sigma),
+                                    halo: int = 32, axis: str = "pix"):
+    """Like sharded_full_pipeline_step, but the warp exchanges halo rows
+    over ICI instead of gathering frames. Cross-device traffic per frame
+    drops from O(H x W) to O(2 x halo x W)."""
+    data_sharding = NamedSharding(mesh, P(None, axis, None))
+    out_sharding = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    plane = NamedSharding(mesh, P(axis, None))
+
+    def step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
+             loc0, scale0, invs, sigma_low, sigma_high):
+        cal = frames - dark[None]
+        cal = jnp.where(flat[None] <= 0.0, cal, cal * flat_max / flat[None])
+        mult = (ref_scales / scale0)[:, None, None]
+        off = (ref_locs - loc0 * (ref_scales / scale0))[:, None, None]
+        matched = cal * mult + off
+        warped = _warp_frames_halo(matched, invs, mesh, halo, axis)
+        return stk.stack(warped, stk.StackMode(mode), weights=weights,
+                         sigma_low=sigma_low, sigma_high=sigma_high,
+                         ref_frame_loc=loc0, use_pallas=False)
+
+    return jax.jit(
+        step,
+        in_shardings=(data_sharding, plane, plane, rep, rep, rep, rep, rep, rep,
+                      rep, rep, rep),
+        out_shardings=(out_sharding, rep, rep),
+    )
+
+
 def sharded_full_pipeline_step(mesh: Mesh, mode: int = int(stk.StackMode.Sigma),
                                axis: str = "pix"):
     """Jit the calibrate+match+warp+stack step with row sharding over the

@@ -122,3 +122,60 @@ class TestShardedFullStep:
         np.testing.assert_allclose(np.asarray(full)[:-1, :-1],
                                    np.asarray(plain)[:-1, :-1],
                                    rtol=0, atol=1e-5)
+
+
+class TestHaloWarp:
+    """Halo-exchange warp: boundary rows travel by ppermute instead of an
+    all-gather of the frames operand."""
+
+    def _run(self, mesh, frames, dark, flat, invs, halo=8):
+        from nightlight_tpu.parallel.mesh import sharded_full_pipeline_step_halo
+
+        n = frames.shape[0]
+        fn = sharded_full_pipeline_step_halo(mesh, halo=halo)
+        dev = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+        plane = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("pix", None))
+        ones = jnp.ones(n, jnp.float32)
+        return fn(dev, jax.device_put(jnp.asarray(dark), plane),
+                  jax.device_put(jnp.asarray(flat), plane),
+                  jnp.float32(flat.max()), ones, ones, ones,
+                  jnp.float32(1.0), jnp.float32(1.0), jnp.asarray(invs),
+                  jnp.float32(2.75), jnp.float32(2.75))
+
+    def test_matches_gather_warp_within_halo(self, mesh, rng):
+        from nightlight_tpu.parallel.mesh import _full_pipeline_step
+
+        frames, dark, flat = _mk_inputs(rng, n=6, h=64, w=48)
+        # translations up to 5 rows: within the 8-row halo
+        invs = np.array([[1.0, 0.0, float(i), 0.0, 1.0, float(-i)]
+                         for i in range(6)], np.float32)
+        out, lo, hi = self._run(mesh, frames, dark, flat, invs, halo=8)
+
+        ones = jnp.ones(6, jnp.float32)
+        ref, rlo, rhi = _full_pipeline_step(
+            jnp.asarray(frames), jnp.asarray(dark), jnp.asarray(flat),
+            jnp.float32(flat.max()), ones, ones, ones,
+            jnp.float32(1.0), jnp.float32(1.0), jnp.asarray(invs),
+            jnp.float32(2.75), jnp.float32(2.75), mode=int(stk.StackMode.Sigma))
+
+        out, expect = np.asarray(out), np.asarray(ref)
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(expect))
+        m = ~np.isnan(expect)
+        np.testing.assert_allclose(out[m], expect[m], rtol=0, atol=1e-5)
+        assert (int(lo), int(hi)) == (int(rlo), int(rhi))
+
+    def test_beyond_halo_becomes_nan(self, mesh, rng):
+        """A displacement larger than the halo cannot be resolved locally:
+        those pixels become NaN missing data rather than wrong values."""
+        frames, dark, flat = _mk_inputs(rng, n=4, h=64, w=48)
+        # shift all frames by 20 rows with a 4-row halo: every interior pixel
+        # needs rows from 2+ shards away
+        invs = np.tile(np.array([1, 0, 0, 0, 1, 20.0], np.float32), (4, 1))
+        out, _, _ = self._run(mesh, frames, dark, flat, invs, halo=4)
+        out = np.asarray(out)
+        # with rows_per=8 and halo=4, a +20-row displacement always exceeds
+        # the halo, so every pixel of every frame is NaN missing data; the
+        # stacker then fills every pixel with RefFrameLoc (=1.0,
+        # stack.go:288-297) rather than leaking wrong neighbor-row values
+        assert np.all(out == 1.0)
