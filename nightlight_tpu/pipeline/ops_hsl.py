@@ -270,15 +270,6 @@ class OpHSLStretchIterative(UnaryOperator):
         c.logf("%d: Auto-stretching HSL loc to %.2f%% and scale to %.2f%% ...\n",
                f.id, self.location * 100, self.scale * 100)
 
-        def get_loc_scale():
-            st = _lum_stats(f)
-            return st.location, st.scale
-
-        def apply_gamma(g):
-            _set_channel(f, 2, pm.gamma(f.data[2], g))
-
-        def shift_black(before, after):
-            _set_channel(f, 2, pm.shift_black_to_move(f.data[2], before, after))
-
-        stretch_iterative(f, c, self.location, self.scale, get_loc_scale, apply_gamma, shift_black)
+        stretch_iterative(f, c, self.location, self.scale, f.data[2],
+                          lambda d: _set_channel(f, 2, d))
         return f

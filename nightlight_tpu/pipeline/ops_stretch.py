@@ -34,28 +34,45 @@ def ideal_stretch_gamma(loc: float, scale: float, target_loc: float, target_scal
 
 
 def stretch_iterative(f: Image, c: Context, target_loc: float, target_scale: float,
-                      get_loc_scale, apply_gamma, shift_black) -> None:
-    """Shared iterative auto-stretch loop (stretch.go:103-159), parameterized
-    over whole-image vs single-channel application."""
-    for i in range(51):
-        if i == 50:
-            c.logf("%d: Warning: did not converge after %d iterations\n", f.id, i)
-            break
-        loc, scale = get_loc_scale()
+                      data, set_data, seed_stats=None) -> None:
+    """Shared iterative auto-stretch (stretch.go:103-159), whole-image or
+    single-channel via the `data`/`set_data` pair.
+
+    The entire search loop runs ON DEVICE (ops/autostretch.py) -- up to 50
+    estimate/decide/transform rounds in one program, with the per-round
+    history read back in a single fetch. The reference's per-iteration log
+    lines are replayed from the history verbatim.
+    """
+    import numpy as np
+
+    from nightlight_tpu.ops import autostretch as ast
+
+    out, hist, n_iter, converged = ast.auto_stretch(data, target_loc, target_scale)
+    hist = np.asarray(hist)  # the one device fetch
+    n_iter = int(n_iter)
+    for i in range(n_iter):
+        loc, scale, action, param = (hist[i, ast.H_LOC], hist[i, ast.H_SCALE],
+                                     hist[i, ast.H_ACTION], hist[i, ast.H_PARAM])
         c.logf("%d: Linear location %.2f%% and scale %.2f%%, ", f.id, loc * 100, scale * 100)
-        if loc <= target_loc * 1.01 and scale < target_scale:
-            gamma = ideal_stretch_gamma(loc, scale, target_loc, target_scale)
-            if gamma <= 1.01:
-                c.logf("done\n")
-                break
-            c.logf("applying gamma %.3g\n", gamma)
-            apply_gamma(gamma)
-        elif loc > target_loc * 0.99 and scale < target_scale:
+        if action == ast.ACT_GAMMA:
+            c.logf("applying gamma %.3g\n", param)
+        elif action == ast.ACT_BLACK:
             c.logf("scaling black to move location to %.2f%%...\n", target_loc * 100)
-            shift_black(loc, target_loc)
         else:
             c.logf("done\n")
-            break
+    if not bool(converged):
+        c.logf("%d: Warning: did not converge after %d iterations\n", f.id, 50)
+    set_data(out)
+    if seed_stats is not None and bool(converged) and n_iter > 0:
+        # the final round applied no transform, so its statistics describe
+        # the returned data exactly: seed the caches instead of refetching
+        last = hist[n_iter - 1]
+        st = seed_stats
+        st._min, st._mean, st._max = (float(last[ast.H_MIN]),
+                                      float(last[ast.H_MEAN]), float(last[ast.H_MAX]))
+        st._have_mmm = True
+        st._location, st._scale = float(last[ast.H_LOC]), float(last[ast.H_SCALE])
+        st._have_locscale = True
 
 
 @register
@@ -94,18 +111,12 @@ class OpStretchIterative(UnaryOperator):
         c.logf("%d: Auto-stretching loc to %.2f%% and scale to %.2f%% ...\n",
                f.id, self.location * 100, self.scale * 100)
 
-        def get_loc_scale():
-            return f.stats.location, f.stats.scale
+        def set_data(d):
+            f.data = d
+            f.stats.set_data(d)
 
-        def apply_gamma(g):
-            f.data = pm.gamma(f.data, g)
-            f.stats.set_data(f.data)
-
-        def shift_black(before, after):
-            f.data = pm.shift_black_to_move(f.data, before, after)
-            f.stats.set_data(f.data)
-
-        stretch_iterative(f, c, self.location, self.scale, get_loc_scale, apply_gamma, shift_black)
+        stretch_iterative(f, c, self.location, self.scale, f.data, set_data,
+                          seed_stats=f.stats)
         return f
 
 
