@@ -16,15 +16,26 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_fitsio.c")
-_SO = os.path.join(_HERE, "_fitsio.so")
 
 _lib = None
 _lock = threading.Lock()
 _tried = False
 
 
+def _so_path() -> str:
+    # Key the build cache on the source hash, not mtimes: a fresh clone gives
+    # every file the same mtime, which would silently prefer a stale or
+    # foreign-arch binary.
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, f"_fitsio-{digest}.so")
+
+
 def _build() -> str | None:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    _SO = _so_path()
+    if os.path.exists(_SO):
         return _SO
     for cc in ("cc", "gcc", "clang"):
         try:

@@ -104,7 +104,13 @@ class Handler(BaseHTTPRequestHandler):
 
     def _serve_static(self, rel: str, content_type):
         base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "web")
-        self._send_file(os.path.join(base, rel), content_type)
+        full = os.path.realpath(os.path.join(base, rel))
+        # Containment check: reject traversal out of the web asset dir
+        # (mirrors the path sandboxing contract of operator.go:258-266).
+        if os.path.commonpath([full, os.path.realpath(base)]) != os.path.realpath(base):
+            self.send_error(403)
+            return
+        self._send_file(full, content_type)
 
     def _serve_file(self, rel: str):
         if os.path.isabs(rel) or ".." in rel:

@@ -13,6 +13,10 @@ import sys
 
 
 def make_sandbox(chroot_dir: str, setuid: int, log=None) -> None:
+    """Apply the requested sandbox or die: when chroot/setuid were explicitly
+    requested and cannot be applied, running unsandboxed (possibly as root)
+    would silently void the operator's security intent, so we fail hard like
+    the reference's panic (sandbox_unix.go:36-45)."""
     log = log or sys.stdout
     if chroot_dir:
         try:
@@ -20,10 +24,10 @@ def make_sandbox(chroot_dir: str, setuid: int, log=None) -> None:
             os.chdir("/")
             print(f"chrooted into {chroot_dir}", file=log)
         except (OSError, AttributeError) as e:
-            print(f"Warning: unable to chroot to {chroot_dir}: {e}", file=log)
+            raise SystemExit(f"Fatal: unable to chroot to {chroot_dir}: {e}")
     if setuid >= 0:
         try:
             os.setuid(setuid)
             print(f"setuid to {setuid}", file=log)
         except (OSError, AttributeError) as e:
-            print(f"Warning: unable to setuid to {setuid}: {e}", file=log)
+            raise SystemExit(f"Fatal: unable to setuid to {setuid}: {e}")

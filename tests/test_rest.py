@@ -83,6 +83,21 @@ class TestREST:
         with urllib.request.urlopen(url + "/") as resp:
             assert b"visual job editor" in resp.read()
 
+    def test_static_route_rejects_traversal(self, server):
+        """GET /js/../../../../etc/passwd must not escape the web asset dir."""
+        import http.client
+
+        url, _ = server
+        host, port = url.replace("http://", "").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        # http.client sends the path verbatim (no client-side normalization).
+        conn.request("GET", "/js/../../../../../../etc/passwd")
+        resp = conn.getresponse()
+        body = resp.read()
+        conn.close()
+        assert resp.status in (403, 404)
+        assert b"root:" not in body
+
 
 class TestConcurrentJobs:
     def test_two_simultaneous_jobs_serialize(self, server, tmp_path, rng):
