@@ -242,108 +242,157 @@ class OpExportStats(UnaryOperator):
         c.stats_file = None
 
 
-# Interactive chart page around the data rows (exportstats.go:119-226).
-_SESSION_STATS_HEADER = """<html>
-  <head>
-    <script type="text/javascript" src="https://www.gstatic.com/charts/loader.js"></script>
-  </head>
-  <body>
-    <table height="100%" width="100%"><tr height="100%">
-      <td width="90%"><div id="sessionStatsChart" style="width: 100%; height: 100%"></div></td>
-      <td width="10%"><form><input type="checkbox" id="normalize" name="normalize" checked="true" onchange="toggleNormalize()"><label for="normalize">Normalize</label></form></td>
-    </tr></table>
-  </body>
-  <script type="text/javascript">
-google.charts.load('current', {'packages':['corechart']});
-google.charts.setOnLoadCallback(drawChart);
-
-var dataArray =
+# Interactive chart page around the data rows. The data-row format (header
+# row of column names followed by per-frame numeric rows, incrementally
+# appended as frames finish) is the compatibility contract with the
+# reference's report (exportstats.go); the page itself is an original,
+# dependency-free inline-SVG renderer that works fully offline.
+_SESSION_STATS_HEADER = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>Session statistics</title>
+<style>
+  :root { color-scheme: dark; }
+  body { margin: 0; background: #14161a; color: #d7dae0;
+         font: 13px/1.4 system-ui, sans-serif; }
+  #wrap { display: flex; height: 100vh; }
+  #plot { flex: 1 1 auto; min-width: 0; }
+  #side { flex: 0 0 11em; padding: 1em; border-left: 1px solid #2a2d33; }
+  #side h1 { font-size: 14px; margin: 0 0 .8em; }
+  #side label { display: flex; align-items: center; gap: .4em;
+                margin: .25em 0; cursor: pointer; user-select: none; }
+  .swatch { width: 1em; height: 3px; border-radius: 2px; }
+  #readout { margin-top: 1em; white-space: pre; font-family: monospace;
+             font-size: 11px; color: #9aa0a8; }
+  svg text { fill: #9aa0a8; font: 11px system-ui, sans-serif; }
+  svg .grid { stroke: #24272d; }
+  svg .axis { stroke: #3a3e45; }
+</style>
+</head>
+<body>
+<div id="wrap">
+  <svg id="plot" preserveAspectRatio="none"></svg>
+  <div id="side">
+    <h1>Session statistics</h1>
+    <label><input type="checkbox" id="norm" checked> relative to median</label>
+    <div id="series"></div>
+    <div id="readout"></div>
+  </div>
+</div>
+<script>
+"use strict";
+const SESSION_STATS =
 """
 
 _SESSION_STATS_TRAILER = """;
 
-function sortByFirstElement(a, b) {
-	return a[0] - b[0];
-}
-dataHeader=dataArray[0];
-dataRows=dataArray.slice(1);
-dataRows.sort(sortByFirstElement);
-dataArray = [dataHeader].concat(dataRows);
+// ---- original inline-SVG session chart (no external libraries) ----
+const COLORS = ["#6ea8fe", "#f2c078", "#7bd88f", "#ef7b7b",
+                "#c79bf2", "#6fd6d2", "#f2a0d3"];
+const header = SESSION_STATS[0];
+const rows = SESSION_STATS.slice(1).sort((a, b) => a[0] - b[0]);
+const nSeries = header.length - 1;           // column 0 is the frame ID
+const enabled = new Array(nSeries).fill(true);
 
-var columnMedians=calcColumnMedians(dataArray);
-var normDataArray=normalizeYAxisValues(dataArray, columnMedians);
-var normalizeCheckbox=document.getElementById('normalize');
+const med = col => {
+  const v = rows.map(r => r[col]).sort((a, b) => a - b);
+  const h = v.length >> 1;
+  return v.length % 2 ? v[h] : 0.5 * (v[h - 1] + v[h]);
+};
+const medians = header.map((_, c) => (c ? med(c) : 0));
 
-function getData() {
-  return normalizeCheckbox.checked ? normDataArray : dataArray;
-}
+const svg = document.getElementById("plot");
+const sideBox = document.getElementById("series");
+const normBox = document.getElementById("norm");
+const readout = document.getElementById("readout");
 
-var options = {
-  title: 'Session statistics',
-  explorer: {
-    axis: 'horizontal',
-    action: ['dragToPan'],
-    keepInBounds: true,
-    maxZoomIn: 0.001,
-    maxZoomOut: 1.0
-  },
-  crosshair: { trigger: 'both' },
-  legend: { position: 'bottom' }
+header.slice(1).forEach((name, i) => {
+  const lab = document.createElement("label");
+  const cb = document.createElement("input");
+  cb.type = "checkbox"; cb.checked = true;
+  cb.addEventListener("change", () => { enabled[i] = cb.checked; draw(); });
+  const sw = document.createElement("span");
+  sw.className = "swatch";
+  sw.style.background = COLORS[i % COLORS.length];
+  lab.append(cb, sw, document.createTextNode(name));
+  sideBox.append(lab);
+});
+normBox.addEventListener("change", draw);
+
+const el = (tag, attrs, text) => {
+  const n = document.createElementNS("http://www.w3.org/2000/svg", tag);
+  for (const k in attrs) n.setAttribute(k, attrs[k]);
+  if (text !== undefined) n.textContent = text;
+  return n;
 };
 
-var chart;
+const val = (row, c) =>
+  normBox.checked && medians[c] !== 0 ? row[c] / medians[c] : row[c];
 
-function toggleNormalize() {
-  data = google.visualization.arrayToDataTable(getData())
-  chart.draw(data, options);
-}
+function draw() {
+  const W = svg.clientWidth || 800, H = svg.clientHeight || 500;
+  const m = { l: 56, r: 12, t: 12, b: 28 };
+  svg.setAttribute("viewBox", `0 0 ${W} ${H}`);
+  svg.textContent = "";
+  if (!rows.length) return;
 
-function drawChart() {
-  chart = new google.visualization.LineChart(document.getElementById('sessionStatsChart'));
-  toggleNormalize();
-}
+  let lo = Infinity, hi = -Infinity;
+  for (const r of rows)
+    for (let c = 1; c <= nSeries; c++)
+      if (enabled[c - 1]) { const v = val(r, c); lo = Math.min(lo, v); hi = Math.max(hi, v); }
+  if (!isFinite(lo)) { lo = 0; hi = 1; }
+  if (lo === hi) { lo -= 0.5; hi += 0.5; }
+  const pad = 0.04 * (hi - lo); lo -= pad; hi += pad;
 
-function calcColumnMedians(d) {
-  var numRows=d.length-1;
-  var buffer=new Array(numRows);
-  var numColumns=d[0].length;
-  var medians=new Array(numColumns);
+  const ids = rows.map(r => r[0]);
+  const x0 = Math.min(...ids), x1 = Math.max(...ids) || 1;
+  const X = id => m.l + (W - m.l - m.r) * (x1 === x0 ? 0.5 : (id - x0) / (x1 - x0));
+  const Y = v => H - m.b - (H - m.t - m.b) * ((v - lo) / (hi - lo));
 
-  for(let col=0; col<numColumns; col++) {
-    for(let row=1; row<=numRows; row++) {
-      buffer[row]=d[row][col];
-    }
-    medians[col]=median(buffer);
+  for (let i = 0; i <= 5; i++) {                       // horizontal grid + labels
+    const v = lo + (hi - lo) * i / 5, y = Y(v);
+    svg.append(el("line", { class: "grid", x1: m.l, x2: W - m.r, y1: y, y2: y }));
+    svg.append(el("text", { x: m.l - 6, y: y + 4, "text-anchor": "end" },
+                  v.toPrecision(4)));
   }
-  return medians;
-}
+  const step = Math.max(1, Math.ceil(rows.length / 12));
+  rows.forEach((r, i) => {                             // frame-ID ticks
+    if (i % step) return;
+    svg.append(el("text", { x: X(r[0]), y: H - m.b + 16, "text-anchor": "middle" }, r[0]));
+  });
+  svg.append(el("line", { class: "axis", x1: m.l, x2: m.l, y1: m.t, y2: H - m.b }));
+  svg.append(el("line", { class: "axis", x1: m.l, x2: W - m.r, y1: H - m.b, y2: H - m.b }));
 
-function normalizeYAxisValues(d, m) {
-  var numRows=d.length-1;
-  var numColumns=d[0].length;
-
-  var norm=new Array(numRows);
-  norm[0]=d[0];
-  for(let r=1; r<=numRows; r++) {
-    thisRow=new Array(numColumns);
-    thisRow[0]=d[r][0];
-    for(let c=1; c<numColumns; c++) {
-      thisRow[c]=d[r][c] / m[c];
-    }
-    norm[r]=thisRow;
+  for (let c = 1; c <= nSeries; c++) {
+    if (!enabled[c - 1]) continue;
+    const pts = rows.map(r => `${X(r[0])},${Y(val(r, c))}`).join(" ");
+    svg.append(el("polyline", { points: pts, fill: "none",
+                                stroke: COLORS[(c - 1) % COLORS.length],
+                                "stroke-width": 1.6 }));
   }
-  return norm;
+
+  const cursor = el("line", { class: "axis", y1: m.t, y2: H - m.b, visibility: "hidden" });
+  svg.append(cursor);
+  svg.onmousemove = ev => {                            // nearest-frame readout
+    const r = svg.getBoundingClientRect();
+    const mx = (ev.clientX - r.left) * W / r.width;
+    let best = rows[0];
+    for (const row of rows)
+      if (Math.abs(X(row[0]) - mx) < Math.abs(X(best[0]) - mx)) best = row;
+    cursor.setAttribute("x1", X(best[0]));
+    cursor.setAttribute("x2", X(best[0]));
+    cursor.setAttribute("visibility", "visible");
+    readout.textContent = header
+      .map((h, c) => `${h.padEnd(9)}${c ? val(best, c).toPrecision(6) : best[0]}`)
+      .join("\\n");
+  };
+  svg.onmouseleave = () => { cursor.setAttribute("visibility", "hidden"); };
 }
 
-function median(numbers) {
-    const sorted = numbers.slice().sort((a, b) => a - b);
-    const middle = Math.floor(sorted.length / 2);
-    if (sorted.length % 2 === 0) {
-        return (sorted[middle - 1] + sorted[middle]) / 2;
-    }
-    return sorted[middle];
-}
-
-  </script>
+new ResizeObserver(draw).observe(svg);
+draw();
+</script>
+</body>
 </html>
 """

@@ -64,6 +64,19 @@ class TestStatsCommand:
         assert "Found 2 files." in out
         assert "0: Stars" in out and "1: Stars" in out
         assert (tmp_path / "stats.html").exists()
+        html = (tmp_path / "stats.html").read_text()
+        # The embedded data block is the compat contract: a JS array literal of
+        # a header row followed by one numeric row per frame.
+        import json as _json
+        data = html.split("const SESSION_STATS =\n", 1)[1].split(";\n", 1)[0]
+        rows = _json.loads(data.replace("'", '"'))
+        assert rows[0] == ["ID", "Min", "Mean", "Max", "Location", "Scale", "Stars", "HFR"]
+        assert len(rows) == 3 and all(len(r) == 8 for r in rows[1:])
+        # The page must be self-contained (offline) and all-original JS.
+        assert "gstatic" not in html and "google.charts" not in html
+        for lifted in ("sortByFirstElement", "calcColumnMedians",
+                       "normalizeYAxisValues", "toggleNormalize"):
+            assert lifted not in html
 
 
 class TestStackCommand:
