@@ -6,27 +6,37 @@ TPU-friendly batch math instead of KD-trees and Nelder-Mead:
 * pick the K brightest mutually-distant stars (align.go:86-104)
 * generate the canonical triangle per star triple with dAB < dAC < dBC
   (align.go:108-130) -- vectorized over all C(K,3) combinations
-* match frame triangles to reference triangles by nearest side-length
-  triple: a dense (T x R) squared-distance computation on device
-  (replaces the pointerless KD-trees kdtree3p.go)
-* for the best K triangle matches: build the initial affine from the star
-  triple (closed form), project all stars, brute-force nearest-neighbor
-  match against reference stars within 8px (replaces kdtree2.go), require
-  >= 1/3 matched (align.go:193-212)
-* refine the 6 affine parameters by CLOSED-FORM least squares on the fixed
-  correspondences -- the reference minimizes the same objective with
-  Nelder-Mead (align.go:214-244); for an affine model with fixed pairs the
-  optimum is two independent 3x3 normal-equation solves, so this is exact
-  where Nelder-Mead is approximate
-* keep the candidate with the smallest residual
-  sqrt(sum distSq)/starsMatched (align.go:233)
+* the WHOLE candidate search runs as ONE device program per frame
+  (_align_device): nearest reference triangle per frame triangle in
+  side-length space (replaces the pointerless KD-trees kdtree3p.go),
+  top-K candidate selection, closed-form affine from each star triple,
+  projection of all stars, nearest-neighbor match against reference stars
+  within 8px (replaces kdtree2.go), the >= 1/3 matched validity rule
+  (align.go:193-212), and a CLOSED-FORM least-squares refine of the 6
+  affine parameters on the matched correspondences -- the reference
+  minimizes the same objective with Nelder-Mead (align.go:214-244); for an
+  affine model with fixed pairs the optimum is two independent normal-
+  equation solves (decoupled 2x2 after centering), so this is exact where
+  Nelder-Mead is approximate. The best candidate by residual
+  sqrt(sum distSq)/starsMatched (align.go:233) is returned.
+
+All distance math uses the exact difference form, never |a|^2+|b|^2-2ab
+matmuls: TPU matmuls default to reduced precision and coordinates in the
+thousands would swamp the pixel-scale differences that decide a match.
+Least-squares sums are computed about the masked centroid (the translation
+decouples and the 2x2 system is well-conditioned in f32).
+
+Array sizes are padded to buckets so the program compiles once per session,
+not once per frame.
 """
 
 from __future__ import annotations
 
 import itertools
 import math
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,18 +54,26 @@ EARLY_ABORT_RESIDUAL = 0.01
 
 def pick_brightest_distant(xs: np.ndarray, ys: np.ndarray, min_length: float, k: int) -> np.ndarray:
     """Greedy selection of up to k stars, in brightness order, skipping stars
-    closer than min_length to an already-picked star (align.go:86-104)."""
+    closer than min_length to an already-picked star (align.go:86-104).
+
+    Vectorized equivalent of the reference's O(n*k) scalar loop: each round
+    picks the brightest remaining star (inputs are mass-descending) and
+    masks out everything within min_length of it.
+    """
+    n = len(xs)
+    avail = np.ones(n, bool)
     picked: list[int] = []
-    for s in range(len(xs)):
-        ok = True
-        for j in picked:
-            if math.hypot(xs[s] - xs[j], ys[s] - ys[j]) < min_length:
-                ok = False
-                break
-        if ok:
-            picked.append(s)
-            if len(picked) == k:
-                break
+    ml2 = float(min_length) * float(min_length)
+    xs64 = xs.astype(np.float64)
+    ys64 = ys.astype(np.float64)
+    while len(picked) < k:
+        idxs = np.nonzero(avail)[0]
+        if len(idxs) == 0:
+            break
+        s = int(idxs[0])
+        picked.append(s)
+        d2 = (xs64 - xs64[s]) ** 2 + (ys64 - ys64[s]) ** 2
+        avail &= d2 >= ml2
     return np.array(picked, np.int32)
 
 
@@ -100,72 +118,166 @@ def generate_triangles(xs: np.ndarray, ys: np.ndarray, indices: np.ndarray,
     return side_len.astype(np.float32), tris.astype(np.int32)
 
 
-def _nearest_triangles(tri_sides: np.ndarray, ref_sides: np.ndarray, chunk: int = 4096):
-    """For each frame triangle, the index and squared distance of the nearest
-    reference triangle in side-length space (replaces kdtree3p NN).
+def _bucket(n: int, b: int) -> int:
+    return max(b, ((n + b - 1) // b) * b)
 
-    Distances use the exact difference form, NOT |a|^2+|b|^2-2ab matmuls:
-    TPU matmuls default to reduced precision and side lengths in the
-    thousands would swamp the pixel-scale differences that decide a match.
+
+# Squared-distance chunk size for the triangle NN (bounds the materialized
+# (chunk, R) block to a few tens of MB).
+_TRI_CHUNK = 2048
+
+
+def _from_three_points_device(cp, cr):
+    """Affine transform mapping the 3 frame points cp (3,2) onto the 3
+    reference points cr (3,2): the device analog of transform.py's
+    from_three_points (coord.go:118-137), solved as a centered 3x3 cofactor
+    system for f32 robustness. Returns a 6-vector; NaN/Inf on degenerate
+    (collinear) triples, which invalidates the candidate downstream."""
+    c0 = jnp.mean(cp, axis=0)
+    r0 = jnp.mean(cr, axis=0)
+    P = cp - c0  # (3,2), centered
+    Q = cr - r0
+    # Solve M @ s = rhs for both target coordinates, M rows = [Px_i, Py_i, 1].
+    x1, y1 = P[0, 0], P[0, 1]
+    x2, y2 = P[1, 0], P[1, 1]
+    x3, y3 = P[2, 0], P[2, 1]
+    det = (x1 * (y2 - y3) - y1 * (x2 - x3) + (x2 * y3 - x3 * y2))
+    # Adjugate rows applied to rhs (Cramer).
+    c11 = y2 - y3
+    c12 = y3 - y1
+    c13 = y1 - y2
+    c21 = x3 - x2
+    c22 = x1 - x3
+    c23 = x2 - x1
+    c31 = x2 * y3 - x3 * y2
+    c32 = x3 * y1 - x1 * y3
+    c33 = x1 * y2 - x2 * y1
+
+    def solve(rhs):
+        a = (c11 * rhs[0] + c12 * rhs[1] + c13 * rhs[2]) / det
+        b = (c21 * rhs[0] + c22 * rhs[1] + c23 * rhs[2]) / det
+        t = (c31 * rhs[0] + c32 * rhs[1] + c33 * rhs[2]) / det
+        return a, b, t
+
+    a, b, t1 = solve(Q[:, 0])
+    d, e, t2 = solve(Q[:, 1])
+    c = t1 + r0[0] - a * c0[0] - b * c0[1]
+    f = t2 + r0[1] - d * c0[0] - e * c0[1]
+    return jnp.stack([a, b, c, d, e, f])
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _align_device(tri_sides, tri_pts, ref_sides, ref_tri_pts, pts, ref_pts,
+                  n_stars, n_ref, k: int):
+    """The full candidate search for one frame in one device program.
+
+    tri_sides (T,3) / tri_pts (T,3,2): frame triangles (padded with 1e30
+    sides); ref_sides (R,3) / ref_tri_pts (R,3,2): reference triangles
+    (padded likewise); pts (S,2) frame stars, ref_pts (S2,2) reference stars
+    (both padded with 1e30 coordinates so padded entries never match);
+    n_stars/n_ref: true counts. Returns (trans (6,), residual, matched).
     """
-    t = jnp.asarray(tri_sides)
-    r = jnp.asarray(ref_sides)
-    best_idx = []
-    best_d2 = []
-    for lo in range(0, t.shape[0], chunk):
-        tc = t[lo : lo + chunk]
-        d2 = jnp.sum((tc[:, None, :] - r[None, :, :]) ** 2, axis=-1)
-        best_idx.append(jnp.argmin(d2, axis=1))
-        best_d2.append(jnp.min(d2, axis=1))
-    return np.asarray(jnp.concatenate(best_idx)), np.asarray(jnp.concatenate(best_d2))
+    T = tri_sides.shape[0]
+
+    # Phase 1: nearest reference triangle per frame triangle, chunked so the
+    # (chunk, R) distance block stays small (kdtree3p.go replacement).
+    def chunk_nn(chunk):
+        d2 = jnp.sum((chunk[:, None, :] - ref_sides[None, :, :]) ** 2, axis=-1)
+        return jnp.argmin(d2, axis=1), jnp.min(d2, axis=1)
+
+    n_chunks = T // _TRI_CHUNK
+    nn_idx, nn_d2 = jax.lax.map(chunk_nn, tri_sides.reshape(n_chunks, _TRI_CHUNK, 3))
+    nn_idx = nn_idx.reshape(T)
+    nn_d2 = nn_d2.reshape(T)
+
+    # Phase 2: the k closest triangle matches become candidates
+    # (closestTriangleMatches, align.go:132-161).
+    _, order = jax.lax.top_k(-nn_d2, k)
+    cand_pts = tri_pts[order]               # (k, 3, 2)
+    cand_ref = ref_tri_pts[nn_idx[order]]   # (k, 3, 2)
+
+    min_distinct = jnp.minimum(4, n_ref)
+
+    # Phases 3-6 per candidate, sequential lax.map to bound the (S, S2)
+    # distance block at one candidate's worth.
+    def eval_cand(args):
+        cp, cr = args
+        t0 = _from_three_points_device(cp, cr)
+        px = t0[0] * pts[:, 0] + t0[1] * pts[:, 1] + t0[2]
+        py = t0[3] * pts[:, 0] + t0[4] * pts[:, 1] + t0[5]
+        d2 = ((px[:, None] - ref_pts[None, :, 0]) ** 2
+              + (py[:, None] - ref_pts[None, :, 1]) ** 2)  # (S, S2)
+        ridx = jnp.argmin(d2, axis=1)
+        rmin = jnp.min(d2, axis=1)
+        m = rmin < DIST_SQ_LIMIT  # padded stars project ~1e30 away
+        cnt = jnp.sum(m)
+        cntf = jnp.maximum(cnt, 1).astype(jnp.float32)
+
+        # Distinct matched reference stars: a 6-parameter affine fits <= 3
+        # correspondences exactly, so degenerate candidates on sparse fields
+        # would otherwise win with zero residual (beyond-reference guard).
+        sentinel = jnp.int32(1 << 30)
+        s = jnp.sort(jnp.where(m, ridx, sentinel))
+        distinct = (jnp.sum((s[1:] != s[:-1]) & (s[1:] < sentinel))
+                    + (s[0] < sentinel).astype(jnp.int32))
+
+        # Closed-form LSQ refine about the masked centroid: translation
+        # decouples, leaving a well-conditioned 2x2 system per output row.
+        mf = m.astype(jnp.float32)
+        q = ref_pts[ridx]  # (S,2)
+        mpx = jnp.sum(mf * pts[:, 0]) / cntf
+        mpy = jnp.sum(mf * pts[:, 1]) / cntf
+        mqx = jnp.sum(mf * q[:, 0]) / cntf
+        mqy = jnp.sum(mf * q[:, 1]) / cntf
+        Px = jnp.where(m, pts[:, 0] - mpx, 0.0)
+        Py = jnp.where(m, pts[:, 1] - mpy, 0.0)
+        Qx = jnp.where(m, q[:, 0] - mqx, 0.0)
+        Qy = jnp.where(m, q[:, 1] - mqy, 0.0)
+        sxx = jnp.sum(Px * Px)
+        sxy = jnp.sum(Px * Py)
+        syy = jnp.sum(Py * Py)
+        det = sxx * syy - sxy * sxy
+        det_ok = jnp.abs(det) > 1e-6
+        det_safe = jnp.where(det_ok, det, 1.0)
+
+        def row(bx, by):
+            return ((syy * bx - sxy * by) / det_safe,
+                    (sxx * by - sxy * bx) / det_safe)
+
+        a, b = row(jnp.sum(Px * Qx), jnp.sum(Py * Qx))
+        d_, e = row(jnp.sum(Px * Qy), jnp.sum(Py * Qy))
+        c = mqx - a * mpx - b * mpy
+        f = mqy - d_ * mpx - e * mpy
+        refined = jnp.stack([a, b, c, d_, e, f])
+
+        rx = a * pts[:, 0] + b * pts[:, 1] + c - q[:, 0]
+        ry = d_ * pts[:, 0] + e * pts[:, 1] + f - q[:, 1]
+        residual = jnp.sqrt(jnp.sum(mf * (rx * rx + ry * ry))) / cntf
+
+        valid = ((cnt.astype(jnp.float32) >= n_stars / 3.0)
+                 & (distinct >= min_distinct)
+                 & det_ok
+                 & jnp.all(jnp.isfinite(t0)))
+        return refined, jnp.where(valid, residual, jnp.inf), cnt
+
+    trans_all, res_all, cnt_all = jax.lax.map(eval_cand, (cand_pts, cand_ref))
+    best = jnp.argmin(res_all)
+    return trans_all[best], res_all[best], cnt_all[best]
 
 
-def _nn_match_batch(pts: np.ndarray, ref_pts: np.ndarray, transforms: np.ndarray):
-    """Nearest reference star for every star under EVERY candidate transform,
-    in one device dispatch (replaces kdtree2 NN; the reference loops
-    candidates sequentially, align.go:167-254 -- per-candidate dispatch
-    latency dominates on tunneled TPU setups).
-
-    pts (N,2), ref_pts (R,2), transforms (C,6) ->
-    (nearest idx (C,N) int, squared dist (C,N)). Exact difference form --
-    see _nearest_triangles.
-    """
-    p = jnp.asarray(pts)
-    r = jnp.asarray(ref_pts)
-    t = jnp.asarray(transforms)
-    px = t[:, 0:1] * p[None, :, 0] + t[:, 1:2] * p[None, :, 1] + t[:, 2:3]  # (C,N)
-    py = t[:, 3:4] * p[None, :, 0] + t[:, 4:5] * p[None, :, 1] + t[:, 5:6]
-    d2 = ((px[:, :, None] - r[None, None, :, 0]) ** 2
-          + (py[:, :, None] - r[None, None, :, 1]) ** 2)  # (C,N,R)
-    idx = jnp.argmin(d2, axis=2)
-    best = jnp.min(d2, axis=2)
-    packed = np.asarray(jnp.concatenate([idx.astype(jnp.float32), best], axis=0))
-    c = transforms.shape[0]
-    return packed[:c].astype(np.int64), packed[c:]
-
-
-def _lsq_affine(pts: np.ndarray, ref: np.ndarray, mask: np.ndarray) -> np.ndarray | None:
-    """Closed-form affine least squares over masked correspondences.
-
-    Minimizes sum |T(p_i) - ref_i|^2, the same objective Nelder-Mead
-    approximates in align.go:216-235 (sqrt/normalization is monotone).
-    """
-    m = mask
-    if m.sum() < 3:
-        return None
-    x, y = pts[m, 0].astype(np.float64), pts[m, 1].astype(np.float64)
-    A = np.stack([x, y, np.ones_like(x)], axis=-1)  # (n, 3)
-    ata = A.T @ A
-    try:
-        sol_x = np.linalg.solve(ata, A.T @ ref[m, 0].astype(np.float64))
-        sol_y = np.linalg.solve(ata, A.T @ ref[m, 1].astype(np.float64))
-    except np.linalg.LinAlgError:
-        return None
-    return np.concatenate([sol_x, sol_y]).astype(np.float32)
+def _pad_rows(arr: np.ndarray, n: int, fill: float) -> np.ndarray:
+    if arr.shape[0] >= n:
+        return arr[:n]
+    pad = np.full((n - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad])
 
 
 class Aligner:
-    """Star aligner against a fixed reference frame (align.go:28-71)."""
+    """Star aligner against a fixed reference frame (align.go:28-71).
+
+    Reference-side arrays are prepared (and uploaded) once; each align()
+    call is host triangle generation (cheap numpy) plus ONE device dispatch.
+    """
 
     def __init__(self, naxisn, ref_stars: StarList, k: int):
         self.naxisn = list(naxisn)
@@ -177,81 +289,62 @@ class Aligner:
         idx = pick_brightest_distant(ref_stars.x, ref_stars.y, min_length, self.k)
         self.ref_tri_sides, self.ref_tris = generate_triangles(ref_stars.x, ref_stars.y, idx, 1.0)
 
-    def align(self, naxisn, stars: StarList, id: int = 0):
-        """Align a frame's stars to the reference (align.go:74-83).
+        # Padded device-resident reference arrays (uploaded once per run).
+        r_bucket = _bucket(len(self.ref_tri_sides), _TRI_CHUNK)
+        s2_bucket = _bucket(len(self.ref_pts), 256)
+        ref_tri_pts = (self.ref_pts[self.ref_tris]
+                       if len(self.ref_tris) else np.zeros((0, 3, 2), np.float32))
+        # Padding sentinel must differ from the FRAME triangle padding
+        # (+1e30): equal sentinels would make padded-vs-padded distances
+        # zero and crowd real triangles out of the top-k candidates.
+        self._ref_sides_dev = jnp.asarray(_pad_rows(self.ref_tri_sides, r_bucket, -1.0e30))
+        self._ref_tri_pts_dev = jnp.asarray(_pad_rows(ref_tri_pts, r_bucket, 0.0))
+        self._ref_pts_dev = jnp.asarray(_pad_rows(self.ref_pts, s2_bucket, 1.0e30))
 
-        Returns (transform 6-vector, residual). Residual is +inf when no
-        candidate produced a valid match.
-        """
-        best_trans = tf.identity()
-        best_residual = float("inf")
+    def align_deferred(self, naxisn, stars: StarList, id: int = 0):
+        """Dispatch the alignment search; returns (trans, residual, matched)
+        as pending device values (pipeline.deferred.Deferred), or None when
+        no triangles exist. Nothing is fetched here."""
         if len(stars) == 0 or len(self.ref_tris) == 0:
-            return best_trans, best_residual
+            return None
 
         min_length = float(self.naxisn[1]) * MIN_DISTANCE_FRACTION
         idx = pick_brightest_distant(stars.x, stars.y, min_length, self.k)
         scale = float(self.naxisn[0]) / float(naxisn[0])
         tri_sides, tris = generate_triangles(stars.x, stars.y, idx, scale)
         if len(tris) == 0:
-            return best_trans, best_residual
-
-        nn_idx, nn_d2 = _nearest_triangles(tri_sides, self.ref_tri_sides)
-        order = np.argsort(nn_d2, kind="stable")[: min(self.k, len(nn_d2))]
+            return None
 
         pts = np.stack([stars.x, stars.y], axis=-1).astype(np.float32)
         n_stars = len(stars)
+        tri_pts = pts[tris]  # (T, 3, 2) -- NOTE: unscaled coordinates, like
+        # the host matching in the reference (align.go:193: original stars)
 
-        # Build all candidate transforms on the host (closed form, cheap),
-        # then match every candidate in ONE device dispatch.
-        cand_transforms = []
-        for ti in order:
-            tri = tris[ti]
-            ref_tri = self.ref_tris[nn_idx[ti]]
-            p = [pts[v] for v in tri]
-            pp = [self.ref_pts[v] for v in ref_tri]
-            try:
-                cand_transforms.append(tf.from_three_points(p[0], p[1], p[2], pp[0], pp[1], pp[2]))
-            except ValueError:
-                continue
-        if not cand_transforms:
-            return best_trans, best_residual
-        # Pad candidate count to k and star count to a 256 bucket so the
-        # batched matcher compiles once per session, not once per frame.
-        n_cand = len(cand_transforms)
-        while len(cand_transforms) < self.k:
-            cand_transforms.append(cand_transforms[0])
-        pts_padded = pts
-        n_bucket = ((n_stars + 255) // 256) * 256
-        if n_bucket > n_stars:
-            pts_padded = np.concatenate(
-                [pts, np.full((n_bucket - n_stars, 2), 1.0e30, np.float32)])
-        all_idx, all_d2 = _nn_match_batch(pts_padded, self.ref_pts,
-                                          np.stack(cand_transforms))
-        all_idx, all_d2 = all_idx[:, :n_stars], all_d2[:, :n_stars]
+        t_bucket = _bucket(len(tri_sides), _TRI_CHUNK)
+        s_bucket = _bucket(n_stars, 256)
+        trans, residual, matched = _align_device(
+            jnp.asarray(_pad_rows(tri_sides, t_bucket, 1.0e30)),
+            jnp.asarray(_pad_rows(tri_pts, t_bucket, 0.0)),
+            self._ref_sides_dev, self._ref_tri_pts_dev,
+            jnp.asarray(_pad_rows(pts, s_bucket, 1.0e30)),
+            self._ref_pts_dev,
+            jnp.float32(n_stars), jnp.int32(len(self.ref_pts)), self.k)
 
-        for ci in range(n_cand):
-            ref_idx, d2 = all_idx[ci], all_d2[ci]
-            mask = d2 < DIST_SQ_LIMIT
-            # Require >= 1/3 matched (align.go:210), and -- beyond the
-            # reference -- at least 4 DISTINCT reference stars: a 6-parameter
-            # affine fits <= 3 correspondences exactly, so degenerate
-            # candidates would otherwise win with zero residual on sparse
-            # star fields.
-            distinct = len(np.unique(ref_idx[mask]))
-            if mask.sum() < n_stars / 3 or distinct < min(4, len(self.ref_pts)):
-                continue
-            ref_match = self.ref_pts[ref_idx]
+        from nightlight_tpu.deferred import defer
 
-            refined = _lsq_affine(pts, ref_match, mask)
-            if refined is None:
-                continue
-            proj2 = tf.apply(refined, pts)
-            dd = proj2[mask] - ref_match[mask]
-            residual = float(np.sqrt((dd * dd).sum())) / int(mask.sum())
+        return defer(trans, conv=np.asarray), defer(residual), defer(matched, conv=int)
 
-            if residual < best_residual:
-                best_trans, best_residual = refined, residual
-                if best_residual < EARLY_ABORT_RESIDUAL:
-                    return best_trans, best_residual
+    def align(self, naxisn, stars: StarList, id: int = 0):
+        """Align a frame's stars to the reference (align.go:74-83).
 
-        return best_trans, best_residual
+        Returns (transform 6-vector, residual). Residual is +inf when no
+        candidate produced a valid match.
+        """
+        out = self.align_deferred(naxisn, stars, id)
+        if out is None:
+            return tf.identity(), float("inf")
+        trans, residual, _ = out
+        res = float(residual)
+        if not np.isfinite(res):
+            return tf.identity(), float("inf")
+        return np.asarray(trans.value, np.float32), res

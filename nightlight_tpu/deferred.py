@@ -1,0 +1,230 @@
+"""Deferred device scalars: batch many tiny D2H fetches into one transfer.
+
+On tunneled TPU setups every host<->device synchronization pays a full round
+trip (~30-200ms, with multi-second stalls observed); the per-frame operator
+pipeline used to pay several per frame (bad-pixel count, statistics, star
+list, alignment residual), which dominated end-to-end wall time
+(BASELINE.md). This module provides the execution-model fix:
+
+* operators register small device outputs with the process-wide
+  DeferredPool instead of fetching them;
+* the returned Deferred behaves like a number -- any host use (float(),
+  comparisons, arithmetic, %-formatting) transparently resolves it;
+* resolution flushes the WHOLE pool in one concatenated device fetch, so
+  the first host access after a dispatch phase pays one round trip for
+  every pending value of every frame.
+
+The reference has no equivalent: its goroutines share host memory
+(internal/ops/operator.go:73-116). This is the TPU-native replacement for
+"cheap per-frame scalar access".
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Callable
+
+import numpy as np
+
+_DEBUG = os.environ.get("NIGHTLIGHT_DEBUG_SYNC", "") == "1"
+
+
+class DeferredPool:
+    """Registry of pending device arrays, resolved in one batched transfer."""
+
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._pending: list[Deferred] = []
+        self.flush_count = 0  # observability: tests assert flush budgets
+
+    def defer(self, array, conv: Callable = float) -> "Deferred":
+        """Register a device array (any shape) for batched resolution.
+
+        conv converts the fetched np scalar/array to the host value: float
+        (default) for 0-d arrays, int for counts, or np.asarray for vectors.
+        """
+        d = Deferred(self, array, conv)
+        with self._lock:
+            self._pending.append(d)
+        return d
+
+    def flush(self) -> None:
+        """Resolve every pending Deferred with ONE device fetch."""
+        with self._lock:
+            pending = [d for d in self._pending if not d._resolved]
+            self._pending.clear()
+            if not pending:
+                return
+            import jax.numpy as jnp
+
+            # One concatenated f32 transfer. Values are converted by VALUE
+            # (astype), never bitcast: int32 payloads bitcast to f32 become
+            # denormals that the TPU flushes to zero in transit. f32 holds
+            # integers exactly up to 2^24, above any count we defer.
+            parts = []
+            offsets = [0]
+            for d in pending:
+                flat = jnp.ravel(d._array).astype(jnp.float32)
+                parts.append(flat)
+                offsets.append(offsets[-1] + flat.shape[0])
+            fetched = np.asarray(jnp.concatenate(parts)) if len(parts) > 1 \
+                else np.asarray(parts[0])
+            self.flush_count += 1
+            if _DEBUG:
+                import traceback
+
+                print(f"[deferred] flush #{self.flush_count}: "
+                      f"{len(pending)} values, {offsets[-1]} floats")
+                traceback.print_stack(limit=8)
+            for d, lo, hi in zip(pending, offsets, offsets[1:]):
+                raw = fetched[lo:hi]
+                shape = d._array.shape
+                d._value = d._conv(raw[0]) if shape == () else d._conv(raw.reshape(shape))
+                d._resolved = True
+                d._array = None  # release the device reference
+
+
+_pool = DeferredPool()
+
+
+def get_pool() -> DeferredPool:
+    """The process-wide pool. Jobs are serialized (REST lock / CLI), so one
+    pool is correct; flushing another job's stale handles is harmless."""
+    return _pool
+
+
+def defer(array, conv: Callable = float) -> "Deferred":
+    return _pool.defer(array, conv)
+
+
+class Deferred:
+    """A pending device value that acts like a number on the host.
+
+    Reading `.value` (or using it in arithmetic/formatting) resolves it,
+    flushing the whole pool in one transfer. `.array` exposes the device
+    array for further on-device math without any synchronization.
+    """
+
+    __slots__ = ("_pool", "_array", "_conv", "_value", "_resolved")
+
+    def __init__(self, pool: DeferredPool, array, conv: Callable):
+        self._pool = pool
+        self._array = array
+        self._conv = conv
+        self._value = None
+        self._resolved = False
+
+    @property
+    def value(self):
+        if not self._resolved:
+            self._pool.flush()
+        return self._value
+
+    @property
+    def array(self):
+        """The device array (pre-resolution) for on-device chaining."""
+        if self._resolved:
+            raise ValueError("device array already released by resolution")
+        return self._array
+
+    @property
+    def resolved(self) -> bool:
+        return self._resolved
+
+    def __jax_array__(self):
+        """Let jitted functions consume a Deferred directly: unresolved
+        values pass through as their device array (no sync); resolved ones
+        re-enter as constants."""
+        if not self._resolved:
+            return self._array
+        import jax.numpy as jnp
+
+        return jnp.asarray(self._value)
+
+    # -- number protocol: host uses resolve transparently -------------------
+    def __float__(self):
+        return float(self.value)
+
+    def __int__(self):
+        return int(round(float(self.value)))
+
+    def __index__(self):
+        return int(round(float(self.value)))
+
+    def __bool__(self):
+        return bool(self.value)
+
+    def __str__(self):
+        return str(self.value)
+
+    def __repr__(self):
+        if self._resolved:
+            return f"Deferred({self._value!r})"
+        return "Deferred(<pending>)"
+
+    def __format__(self, spec):
+        return format(self.value, spec)
+
+    def _coerce(self, other):
+        return other.value if isinstance(other, Deferred) else other
+
+    def __eq__(self, other):
+        return self.value == self._coerce(other)
+
+    def __ne__(self, other):
+        return self.value != self._coerce(other)
+
+    def __lt__(self, other):
+        return self.value < self._coerce(other)
+
+    def __le__(self, other):
+        return self.value <= self._coerce(other)
+
+    def __gt__(self, other):
+        return self.value > self._coerce(other)
+
+    def __ge__(self, other):
+        return self.value >= self._coerce(other)
+
+    def __add__(self, other):
+        return self.value + self._coerce(other)
+
+    def __radd__(self, other):
+        return self._coerce(other) + self.value
+
+    def __sub__(self, other):
+        return self.value - self._coerce(other)
+
+    def __rsub__(self, other):
+        return self._coerce(other) - self.value
+
+    def __mul__(self, other):
+        return self.value * self._coerce(other)
+
+    def __rmul__(self, other):
+        return self._coerce(other) * self.value
+
+    def __truediv__(self, other):
+        return self.value / self._coerce(other)
+
+    def __rtruediv__(self, other):
+        return self._coerce(other) / self.value
+
+    def __neg__(self):
+        return -self.value
+
+    def __abs__(self):
+        return abs(self.value)
+
+    def __hash__(self):
+        return hash(self.value)
+
+
+def resolve_maybe(x):
+    """Host value of x, resolving if deferred."""
+    return x.value if isinstance(x, Deferred) else x
+
+
+def is_pending(x) -> bool:
+    return isinstance(x, Deferred) and not x._resolved

@@ -142,63 +142,87 @@ def _overlap_filter(x, y, mass, valid, radius: float):
 def _center_of_mass(img, cy0, cx0, x0, y0, threshold, radius: int):
     """Iterative CoM refinement for all stars at once (findstars.go:274-322).
 
-    Operates on (K,) center vectors with batched patch gathers; <=10 rounds
-    of recentering, stars below the 0.01px shift threshold stop updating.
-    Returns (cy, cx, x, y, mass).
+    <=10 rounds of recentering, stars below the 0.01px shift threshold stop
+    updating. Returns (cy, cx, x, y, mass, patch, ok) where patch/ok are the
+    oversized gather reused by the HFR phase.
+
+    One (K, 2(2r)+1, 2(2r)+1) patch is gathered ONCE around the initial
+    centers; each round then re-centers a (2r+1)^2 window inside it with
+    mask arithmetic instead of re-gathering (gathers dominated this
+    program's device time). Drift is clamped to +-radius of the initial
+    center -- the reference re-gathers unboundedly (findstars.go:287-296),
+    but a candidate drifting further than its own radius is not a star and
+    is dropped by the later overlap/plausibility filters either way.
     """
-    size = 2 * radius + 1
-    offs = jnp.arange(size, dtype=jnp.float32) - radius
+    big = 2 * radius  # window radius + max tracked drift
+    size = 2 * big + 1
+    patch, ok = _patches(img, cy0, cx0, big)  # single gather
+    val = jnp.maximum(jnp.where(ok, patch, 0.0) - threshold, 0.0)
+    val = jnp.where(ok, val, 0.0)  # (K, size, size)
+    offs = jnp.arange(size, dtype=jnp.float32) - big  # rel. to initial center
 
     def round_body(_, state):
-        cy, cx, px, py, mass, shift2 = state
+        oy, ox, px, py, mass, shift2 = state  # oy/ox: int window offsets
         active = shift2 > 1e-4
-        patch, ok = _patches(img, cy, cx, radius)
-        v = jnp.maximum(jnp.where(ok, patch, 0.0) - threshold, 0.0)
-        v = jnp.where(ok, v, 0.0)
+        oyf = oy.astype(jnp.float32)
+        oxf = ox.astype(jnp.float32)
+        wy = jnp.abs(offs[None, :] - oyf[:, None]) <= radius  # (K, size)
+        wx = jnp.abs(offs[None, :] - oxf[:, None]) <= radius
+        v = val * (wy[:, :, None] & wx[:, None, :])
         m = jnp.sum(v, axis=(1, 2))
         m = jnp.where(m == 0.0, 1e-8, m)
-        dx = jnp.sum(v * offs[None, None, :], axis=(1, 2)) / m
-        dy = jnp.sum(v * offs[None, :, None], axis=(1, 2)) / m
-        new_x = cx.astype(jnp.float32) + dx
-        new_y = cy.astype(jnp.float32) + dy
+        dx = jnp.sum(v * (offs[None, None, :] - oxf[:, None, None]), axis=(1, 2)) / m
+        dy = jnp.sum(v * (offs[None, :, None] - oyf[:, None, None]), axis=(1, 2)) / m
+        new_x = cx0.astype(jnp.float32) + oxf + dx
+        new_y = cy0.astype(jnp.float32) + oyf + dy
         s2 = (new_x - px) ** 2 + (new_y - py) ** 2
-        new_cy = cy + jnp.round(dy).astype(jnp.int32)
-        new_cx = cx + jnp.round(dx).astype(jnp.int32)
-        return (jnp.where(active, new_cy, cy), jnp.where(active, new_cx, cx),
+        new_oy = jnp.clip(oy + jnp.round(dy).astype(jnp.int32), -big + radius, big - radius)
+        new_ox = jnp.clip(ox + jnp.round(dx).astype(jnp.int32), -big + radius, big - radius)
+        return (jnp.where(active, new_oy, oy), jnp.where(active, new_ox, ox),
                 jnp.where(active, new_x, px), jnp.where(active, new_y, py),
                 jnp.where(active, m, mass), jnp.where(active, s2, shift2))
 
     k = cy0.shape[0]
-    init = (cy0, cx0, x0, y0, jnp.zeros(k, jnp.float32), jnp.full(k, 3.4e38, jnp.float32))
-    cy, cx, px, py, mass, _ = jax.lax.fori_loop(0, 10, round_body, init)
-    return cy, cx, px, py, mass
+    zero = jnp.zeros(k, jnp.int32)
+    init = (zero, zero, x0, y0, jnp.zeros(k, jnp.float32), jnp.full(k, 3.4e38, jnp.float32))
+    oy, ox, px, py, mass, _ = jax.lax.fori_loop(0, 10, round_body, init)
+    return cy0 + oy, cx0 + ox, px, py, mass, (patch, ok, offs, oy, ox)
 
 
-def _hfr(img, cy, cx, location, radius: int):
+def _hfr(big_patch, location, radius: int):
     """Half-flux radius + plausibility masses for all stars at once
     (findstars.go:327-396). Returns (hfr, mass, inner_mass, pixels,
-    inner_pixels) as (K,) vectors."""
-    size = 2 * radius + 1
-    offs = jnp.arange(size, dtype=jnp.float32) - radius
-    dist2 = offs[:, None] ** 2 + offs[None, :] ** 2
-    dist = jnp.sqrt(dist2)
+    inner_pixels) as (K,) vectors.
+
+    Reuses the oversized CoM patch (gathered once around the INITIAL
+    centers) with per-candidate distance grids about the refined centers --
+    the refined center always stays within the patch because CoM drift is
+    clamped to +-radius.
+    """
+    patch, ok, offs, oy, ox = big_patch
+    dy = offs[None, :, None] - oy.astype(jnp.float32)[:, None, None]  # (K, size, 1)
+    dx = offs[None, None, :] - ox.astype(jnp.float32)[:, None, None]  # (K, 1, size)
+    dist2 = dy * dy + dx * dx  # (K, size, size) about refined centers
     dist2_limit = jnp.ceil((radius + 1e-8) * (radius + 1e-8))
 
-    patch, ok = _patches(img, cy, cx, radius)
-    in_disk = (dist2 <= dist2_limit)[None] & ok
-    v = jnp.maximum(jnp.where(ok, patch, 0.0) - location, 0.0)
-    v = jnp.where(in_disk, v, 0.0)
+    in_disk = (dist2 <= dist2_limit) & ok
+    v0 = jnp.maximum(jnp.where(ok, patch, 0.0) - location, 0.0)
+    v = jnp.where(in_disk, v0, 0.0)
     mass = jnp.sum(v, axis=(1, 2))
-    moment = jnp.sum(v * dist[None], axis=(1, 2))
-    pixels = jnp.sum(dist2 <= dist2_limit)  # reference counts OOB pixels too
+    moment = jnp.sum(v * jnp.sqrt(dist2), axis=(1, 2))
+    # The reference counts disk pixels including out-of-bounds ones
+    # (findstars.go:345): a fixed lattice-point count, independent of K.
+    small = jnp.arange(2 * radius + 1, dtype=jnp.float32) - radius
+    sd2 = small[:, None] ** 2 + small[None, :] ** 2
+    pixels = jnp.sum(sd2 <= dist2_limit)
     mass_safe = jnp.where(mass == 0.0, 1e-8, mass)
     hfr = moment / mass_safe
 
     inner_limit = jnp.ceil(hfr * hfr)  # (K,)
-    in_inner = (dist2[None] <= inner_limit[:, None, None]) & ok
-    vi = jnp.where(in_inner, jnp.maximum(jnp.where(ok, patch, 0.0) - location, 0.0), 0.0)
+    in_inner = (dist2 <= inner_limit[:, None, None]) & ok
+    vi = jnp.where(in_inner, v0, 0.0)
     inner_mass = jnp.sum(vi, axis=(1, 2))
-    inner_pixels = jnp.sum(dist2[None] <= inner_limit[:, None, None], axis=(1, 2))
+    inner_pixels = jnp.sum(sd2[None] <= inner_limit[:, None, None], axis=(1, 2))
     return hfr, mass_safe, inner_mass, pixels, inner_pixels
 
 
@@ -239,13 +263,13 @@ def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
 
     # Phase 4: center-of-mass refinement.
     com_threshold = location + scale * star_sig * 0.5
-    cy, cx, x, y, mass = _center_of_mass(img, cy, cx, x, y, com_threshold, radius)
+    cy, cx, x, y, mass, big_patch = _center_of_mass(img, cy, cx, x, y, com_threshold, radius)
 
     # Phase 5: overlap filter again with refined positions and CoM masses.
     valid = _overlap_filter(x, y, mass, valid, float(radius))
 
-    # Phase 6: HFR + plausibility.
-    hfr, mass2, inner_mass, pixels, inner_pixels = _hfr(img, cy, cx, location, radius)
+    # Phase 6: HFR + plausibility (reuses the CoM patch -- no second gather).
+    hfr, mass2, inner_mass, pixels, inner_pixels = _hfr(big_patch, location, radius)
     plausible = hfr <= radius
     outer_mass = mass2 - inner_mass
     outer_pixels = pixels - inner_pixels
@@ -264,37 +288,116 @@ def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
     return (x[order], y[order], values[order], mass[order], hfr[order], num, avg_hfr)
 
 
-def find_stars(img, location: float, scale: float, star_sig: float, bp_sig: float,
-               star_in_out: float, radius: int, median_diff_std: float | None = None,
-               max_candidates: int = MAX_CANDIDATES):
-    """Run star detection. Returns (StarList, avg_hfr).
+class LazyStarList:
+    """Star detection result whose arrays are still on device.
 
+    Creating one costs no synchronization; the first host access resolves it
+    through the deferred pool (one batched transfer for everything pending,
+    typically all frames of a batch at the reference-selection barrier).
+    Mimics StarList's read interface.
+    """
+
+    __slots__ = ("_packed", "_count", "_inner")
+
+    def __init__(self, packed_deferred, count_deferred):
+        self._packed = packed_deferred   # Deferred of (5, K) f32
+        self._count = count_deferred     # Deferred count
+        self._inner: StarList | None = None
+
+    @property
+    def count_lazy(self):
+        """The count as a pending value (for deferred log lines)."""
+        return self._count
+
+    def _resolve(self) -> StarList:
+        if self._inner is None:
+            packed = self._packed.value
+            n = int(self._count)
+            self._inner = StarList(
+                x=packed[0, :n], y=packed[1, :n], value=packed[2, :n],
+                mass=packed[3, :n], hfr=packed[4, :n], count=n)
+        return self._inner
+
+    def __len__(self) -> int:
+        return self._resolve().count
+
+    def __iter__(self):
+        return iter(self._resolve())
+
+    def __getitem__(self, i):
+        return self._resolve()[i]
+
+    @property
+    def x(self):
+        return self._resolve().x
+
+    @property
+    def y(self):
+        return self._resolve().y
+
+    @property
+    def value(self):
+        return self._resolve().value
+
+    @property
+    def mass(self):
+        return self._resolve().mass
+
+    @property
+    def hfr(self):
+        return self._resolve().hfr
+
+    @property
+    def count(self):
+        return self._resolve().count
+
+
+def _as_device_scalar(v):
+    """jnp.float32 scalar from a float, device array, or pending Deferred
+    (without forcing resolution)."""
+    from nightlight_tpu.deferred import Deferred
+
+    if isinstance(v, Deferred):
+        if not v.resolved:
+            return v.array
+        return jnp.float32(float(v))
+    if hasattr(v, "dtype") and hasattr(v, "shape"):
+        return v
+    return jnp.float32(v)
+
+
+def find_stars(img, location, scale, star_sig: float, bp_sig: float,
+               star_in_out: float, radius: int, median_diff_std=None,
+               max_candidates: int = MAX_CANDIDATES, deferred: bool = False):
+    """Run star detection. Returns (StarList | LazyStarList, avg_hfr).
+
+    `location`/`scale`/`median_diff_std` may be floats, device scalars, or
+    pending Deferreds -- the detection program chains on device either way.
     `median_diff_std` is the stddev of the image-minus-3x3-median map; when
     None and bp_sig > 0 it is computed here (findstars.go:139-150 estimates
-    it from a 1% random sample; we use the full image).
+    it from a 1% random sample; we use the full image). With deferred=True
+    nothing is fetched: the result resolves lazily via the deferred pool.
     """
     if median_diff_std is None:
         if bp_sig > 0:
             from nightlight_tpu.ops.prestack import bad_pixel_stats
 
-            _, std = bad_pixel_stats(img)
-            median_diff_std = float(std)
+            _, median_diff_std = bad_pixel_stats(img)
         else:
             median_diff_std = 0.0
 
     x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
-        img, jnp.float32(location), jnp.float32(scale), jnp.float32(star_sig),
-        jnp.float32(bp_sig), jnp.float32(star_in_out), int(radius),
-        jnp.float32(median_diff_std), max_candidates,
+        img, _as_device_scalar(location), _as_device_scalar(scale),
+        jnp.float32(star_sig), jnp.float32(bp_sig), jnp.float32(star_in_out),
+        int(radius), _as_device_scalar(median_diff_std), max_candidates,
     )
-    # One host transfer for all outputs: per-array fetches each pay a full
-    # host<->device round trip on tunneled TPU setups.
-    packed = np.asarray(jnp.stack([
-        x, y, value, mass, hfr,
-        jnp.full(x.shape, num, x.dtype), jnp.full(x.shape, avg_hfr, x.dtype)]))
-    n = int(packed[5, 0])
-    stars = StarList(
-        x=packed[0, :n], y=packed[1, :n], value=packed[2, :n],
-        mass=packed[3, :n], hfr=packed[4, :n], count=n,
-    )
-    return stars, float(packed[6, 0])
+    packed_dev = jnp.stack([x, y, value, mass, hfr])
+
+    from nightlight_tpu.deferred import defer
+
+    stars = LazyStarList(defer(packed_dev, conv=np.asarray), defer(num, conv=int))
+    hfr_out = defer(avg_hfr)
+    if deferred:
+        return stars, hfr_out
+    # Eager callers get the classic host StarList in one batched transfer.
+    return stars._resolve(), float(hfr_out)

@@ -452,8 +452,16 @@ class Stats:
 
     Mirrors the caching/invalidation behavior of the reference Stats object
     (stats.go:44-244): min/mean/max, stddev, location/scale, and noise are
-    computed on first access and cached as Python floats; linear transforms
-    update the cache in O(1) via update_cached_with().
+    computed on first access and cached; linear transforms update the cache
+    in O(1) via update_cached_with().
+
+    Cached values are either host floats or pipeline.deferred.Deferred
+    handles to 0-d device arrays. Computing statistics only DISPATCHES the
+    reductions; the first host read resolves every pending value of every
+    frame in one batched transfer (see pipeline/deferred.py). Accessors
+    return whatever is stored -- Deferred mimics float, so callers are
+    oblivious -- and device_location_scale() hands back raw device scalars
+    for chaining into further device programs with zero synchronization.
     """
 
     __slots__ = (
@@ -480,12 +488,12 @@ class Stats:
         return s
 
     @classmethod
-    def from_stddev(cls, stddev: float) -> "Stats":
+    def from_stddev(cls, stddev) -> "Stats":
         """Data-free Stats carrying only a stddev (the median-diff stats kept
         for star detection after BadPixelMap frees its data,
-        badpixels.go:37-40)."""
+        badpixels.go:37-40). Accepts a float or a pending Deferred."""
         s = cls(None, 0)
-        s._stddev = float(stddev)
+        s._stddev = stddev
         s._have_stddev = True
         return s
 
@@ -522,117 +530,196 @@ class Stats:
             return d.reshape(-1)
         return d
 
+    @staticmethod
+    def _lin(v, multiplier, offset):
+        """x*multiplier + offset on a cached value, staying on device when
+        the value is an unresolved Deferred."""
+        from nightlight_tpu.deferred import Deferred, defer
+
+        if isinstance(v, Deferred) and not v.resolved:
+            return defer(v.array * multiplier + offset)
+        return float(v) * multiplier + offset
+
     def update_cached_with(self, multiplier: float, offset: float) -> None:
         """O(1) cache update after x -> x*multiplier + offset (stats.go:91-99)."""
-        self._min = self._min * multiplier + offset
-        self._max = self._max * multiplier + offset
-        self._mean = self._mean * multiplier + offset
-        self._stddev *= multiplier
-        self._location = self._location * multiplier + offset
-        self._scale *= multiplier
-        self._noise *= multiplier
+        self._min = self._lin(self._min, multiplier, offset)
+        self._max = self._lin(self._max, multiplier, offset)
+        self._mean = self._lin(self._mean, multiplier, offset)
+        self._stddev = self._lin(self._stddev, multiplier, 0.0)
+        self._location = self._lin(self._location, multiplier, offset)
+        self._scale = self._lin(self._scale, multiplier, 0.0)
+        self._noise = self._lin(self._noise, multiplier, 0.0)
 
     # -- accessors ----------------------------------------------------------
     def _ensure_mmm(self) -> None:
         if not self._have_mmm:
+            from nightlight_tpu.deferred import defer
+
             mn, me, mx = min_mean_max(self._flat())
-            vals = np.asarray(jnp.stack([mn, me, mx]))  # one device sync
-            self._min, self._mean, self._max = float(vals[0]), float(vals[1]), float(vals[2])
+            self._min, self._mean, self._max = defer(mn), defer(me), defer(mx)
             self._have_mmm = True
+
+    @staticmethod
+    def _unwrap(v):
+        """Resolved Deferreds decay to plain floats (so they can cross jit
+        boundaries); pending ones pass through to stay lazy."""
+        from nightlight_tpu.deferred import Deferred
+
+        if isinstance(v, Deferred) and v.resolved:
+            return float(v.value)
+        return v
 
     @property
     def min(self) -> float:
         self._ensure_mmm()
-        return self._min
+        return self._unwrap(self._min)
 
     @property
     def max(self) -> float:
         self._ensure_mmm()
-        return self._max
+        return self._unwrap(self._max)
 
     @property
     def mean(self) -> float:
         self._ensure_mmm()
-        return self._mean
+        return self._unwrap(self._mean)
 
     @property
     def stddev(self) -> float:
         if not self._have_stddev:
-            self._stddev = float(np.sqrt(float(variance(self._flat(), jnp.float32(self.mean)))))
+            from nightlight_tpu.deferred import defer
+
+            self._ensure_mmm()
+            mean_dev = self._device_value(self._mean)
+            self._stddev = defer(jnp.sqrt(variance(self._flat(), mean_dev)))
             self._have_stddev = True
-        return self._stddev
+        return self._unwrap(self._stddev)
 
     @property
     def location(self) -> float:
         if not self._have_locscale:
             self._update_location_scale()
-        return self._location
+        return self._unwrap(self._location)
 
     @property
     def scale(self) -> float:
         if not self._have_locscale:
             self._update_location_scale()
-        return self._scale
+        return self._unwrap(self._scale)
 
     @property
     def noise(self) -> float:
         if not self._have_noise:
+            from nightlight_tpu.deferred import defer
+
             d = self._data
             if d.ndim == 1:
                 d = d.reshape(-1, self._width)
             elif d.ndim == 3:
                 d = d[0]
-            self._noise = float(estimate_noise(d))
+            self._noise = defer(estimate_noise(d))
             self._have_noise = True
-        return self._noise
+        return self._unwrap(self._noise)
+
+    @staticmethod
+    def _device_value(v):
+        """A value usable inside jit: the device array of an unresolved
+        Deferred (no sync), else the host float."""
+        from nightlight_tpu.deferred import Deferred
+
+        if isinstance(v, Deferred) and not v.resolved:
+            return v.array
+        return jnp.float32(float(v))
+
+    def device_location_scale(self):
+        """(location, scale) as device scalars (or floats) WITHOUT host
+        synchronization -- for chaining into further device programs
+        (star detection thresholds etc.)."""
+        if not self._have_locscale:
+            self._update_location_scale()
+        return self._device_value(self._location), self._device_value(self._scale)
 
     def _update_location_scale(self) -> None:
         """Dispatch on estimator mode (stats.go:225-244)."""
+        from nightlight_tpu.deferred import defer
+
         mode = self.mode
         if mode == LSEstimatorMode.MeanStdDev:
-            self._location, self._scale = self.mean, self.stddev
+            self._ensure_mmm()
+            _ = self.stddev  # dispatches; stays deferred
+            self._location, self._scale = self._mean, self._stddev
         elif mode == LSEstimatorMode.MedianMAD:
             key = jax.random.PRNGKey(0)
             loc = fast_approx_median(self._flat(), key)
-            self._location = float(loc)
-            self._scale = float(fast_approx_mad(self._flat(), loc, jax.random.PRNGKey(1)))
+            self._location = defer(loc)
+            self._scale = defer(fast_approx_mad(self._flat(), loc, jax.random.PRNGKey(1)))
         elif mode == LSEstimatorMode.IKSS:
             loc, scale = ikss(self._flat())
-            self._location, self._scale = float(loc), float(scale)
+            self._location, self._scale = defer(loc), defer(scale)
         elif mode == LSEstimatorMode.SCMedianQn:
+            # Everything DISPATCHES here; nothing is fetched. min/mean/max
+            # feed the clip epsilon on device, and all five results resolve
+            # together in the pool's next batched transfer.
+            flat = self._flat()
             if not self._have_mmm:
-                # Batch min/mean/max with location/scale: per-scalar fetches
-                # each pay a host<->device round trip, which dominates
-                # per-frame latency on tunneled TPU setups.
-                flat = self._flat()
                 mn, me, mx = min_mean_max(flat)
-                loc, scale = sigma_clipped_median_qn(
-                    flat, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
-                vals = np.asarray(jnp.stack([mn, me, mx, loc, scale]))  # one sync
-                self._min, self._mean, self._max = (
-                    float(vals[0]), float(vals[1]), float(vals[2]))
-                self._location, self._scale = float(vals[3]), float(vals[4])
+                self._min, self._mean, self._max = defer(mn), defer(me), defer(mx)
                 self._have_mmm = True
             else:
-                eps = (self.max - self.min) / 65535.0
-                loc, scale = sigma_clipped_median_qn(self._flat(), 2.0, 2.0, eps,
-                                                     jax.random.PRNGKey(0))
-                vals = np.asarray(jnp.stack([loc, scale]))
-                self._location, self._scale = float(vals[0]), float(vals[1])
+                mn = self._device_value(self._min)
+                mx = self._device_value(self._max)
+            loc, scale = sigma_clipped_median_qn(
+                flat, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
+            self._location, self._scale = defer(loc), defer(scale)
         elif mode == LSEstimatorMode.Histogram:
+            self._ensure_mmm()
             loc, scale = histogram_scale_loc(
-                self._flat(), jnp.float32(self.min), jnp.float32(self.max), 4096
+                self._flat(), self._device_value(self._min),
+                self._device_value(self._max), 4096
             )
-            self._location, self._scale = float(loc), float(scale)
+            self._location, self._scale = defer(loc), defer(scale)
         else:
             raise ValueError(f"unknown LS estimator mode {mode}")
         self._have_locscale = True
 
     # -- printing (log-format compatible with stats.go:177-222) -------------
+    def snapshot_for_log(self) -> "_StatsSnapshot":
+        """Immutable view of the current cached values for deferred log
+        rendering: later update_cached_with() calls replace the field
+        bindings, so the snapshot keeps the values as of the log call."""
+        return _StatsSnapshot(
+            self._min, self._max, self._mean, self._stddev,
+            self._location, self._scale, self._noise,
+            self._have_mmm, self._have_stddev, self._have_locscale,
+            self._have_noise)
+
+    def __str__(self) -> str:
+        return str(self.snapshot_for_log())
+
+
+class _StatsSnapshot:
+    """Frozen Stats field values for a single log line (resolves any pending
+    device values only when rendered)."""
+
+    __slots__ = ("_min", "_max", "_mean", "_stddev", "_location", "_scale",
+                 "_noise", "_have_mmm", "_have_stddev", "_have_locscale",
+                 "_have_noise")
+
+    def __init__(self, mn, mx, mean, stddev, location, scale, noise,
+                 have_mmm, have_stddev, have_locscale, have_noise):
+        self._min, self._max, self._mean = mn, mx, mean
+        self._stddev, self._location, self._scale = stddev, location, scale
+        self._noise = noise
+        self._have_mmm, self._have_stddev = have_mmm, have_stddev
+        self._have_locscale, self._have_noise = have_locscale, have_noise
+
+    def render_deferred(self) -> str:
+        return str(self)
+
     def __str__(self) -> str:
         precision = 6
         if self._have_mmm:
-            m = self._max
+            m = float(self._max)
             if m >= 1_000_000:
                 precision = 0
             elif m >= 100_000:

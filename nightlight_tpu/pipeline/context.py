@@ -52,6 +52,9 @@ class Context:
 
     # per-op shared-state locks (the reference uses per-operator mutexes)
     lock: threading.Lock = field(default_factory=threading.Lock)
+    # deferred-log buffer (see logf/flush_log)
+    _log_lock: threading.Lock = field(default_factory=threading.Lock)
+    _log_buffer: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.memory_mb == 0:
@@ -73,6 +76,7 @@ class Context:
         (stackbatches.go:63); for other commands the reference leaves the
         report unterminated. Flush it here instead.
         """
+        self.flush_log()
         if self.stats_file is not None:
             from nightlight_tpu.pipeline.ops_ref import _SESSION_STATS_TRAILER
 
@@ -83,7 +87,47 @@ class Context:
             self.stats_file = None
 
     def logf(self, fmt: str, *args) -> None:
-        """Printf-style logging (Context.Log writes in the reference)."""
+        """Printf-style logging (Context.Log writes in the reference).
+
+        Arguments may be pending device values (pipeline.deferred.Deferred)
+        or objects exposing snapshot_for_log(); such lines are buffered and
+        rendered at the next flush_log(), so the dispatch phase never pays a
+        per-line device sync. Plain lines that arrive while the buffer is
+        non-empty are buffered too, preserving order.
+        """
+        from nightlight_tpu.deferred import is_pending
+
+        processed = tuple(
+            a.snapshot_for_log() if hasattr(a, "snapshot_for_log") else a
+            for a in args
+        )
+        lazy = any(
+            is_pending(a) or hasattr(a, "render_deferred") for a in processed
+        )
+        with self._log_lock:
+            if lazy or self._log_buffer:
+                self._log_buffer.append((fmt, processed))
+                return
+        self._write_line(fmt, processed)
+
+    def flush_log(self) -> None:
+        """Resolve pending device values (one batched fetch) and write out
+        all buffered log lines in order."""
+        from nightlight_tpu.deferred import get_pool
+
+        with self._log_lock:
+            buffered, self._log_buffer = self._log_buffer, []
+        if not buffered:
+            return
+        get_pool().flush()
+        for fmt, args in buffered:
+            args = tuple(
+                a.render_deferred() if hasattr(a, "render_deferred") else a
+                for a in args
+            )
+            self._write_line(fmt, args)
+
+    def _write_line(self, fmt: str, args: tuple) -> None:
         msg = fmt % args if args else fmt
         if _LOG_TIME:
             import time

@@ -218,11 +218,24 @@ class OpLoad(Operator):
         if f.stats is not None:
             f.stats.replace_data(f.data)
             f.stats.mode = c.ls_estimator_mode
-        warning = ""
-        if f.stats.max - f.stats.min < 1e-8:
-            warning = "; WARNING low dynamic range"
+        # The low-dynamic-range warning must not force a per-frame fetch:
+        # evaluate the min/max spread lazily with the rest of the log line.
+        f.stats._ensure_mmm()  # dispatch only
+
+        class _RangeWarn:
+            def __init__(self, mn, mx):
+                self._mn, self._mx = mn, mx
+
+            def render_deferred(self):
+                return str(self)
+
+            def __str__(self):
+                low = float(self._mx) - float(self._mn) < 1e-8
+                return "; WARNING low dynamic range" if low else ""
+
         c.logf("%d: Loaded %s image with %s from %s%s\n",
-               f.id, f.dimensions_string(), f.stats, f.file_name, warning)
+               f.id, f.dimensions_string(), f.stats, f.file_name,
+               _RangeWarn(f.stats._min, f.stats._max))
         return f
 
 
@@ -356,6 +369,9 @@ class OpSave(Operator):
             return f
         if f is None:
             raise ValueError(f"cannot save nil file to {self.file_pattern}")
+        # Saving transfers pixels to the host anyway; resolve and stream any
+        # buffered log lines first so output order stays natural.
+        c.flush_log()
         file_name = self.file_pattern
         # %d / %04d expansion by image ID. (The reference tests for the
         # literal substring "%d" (operator.go:402), which misses its own

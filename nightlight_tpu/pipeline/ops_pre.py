@@ -92,28 +92,34 @@ class OpBadPixel(UnaryOperator):
     def apply(self, f: Image, c: Context) -> Image:
         if self.sigma_low == 0 or self.sigma_high == 0:
             return f
+        from nightlight_tpu.deferred import defer
+
         debayer = self.debayer
         if debayer is None or not getattr(debayer, "channel", ""):
             import jax.numpy as jnp
-            import numpy as np
 
             repaired, n_bad, diff_std = ps.bad_pixel_repair(f.data, self.sigma_low, self.sigma_high)
             from nightlight_tpu.ops.stats import Stats
 
-            # one device sync for both scalars
-            packed = np.asarray(jnp.stack([n_bad.astype(jnp.float32), diff_std]))
-            n_bad = int(packed[0])
-            f.median_diff_stats = Stats.from_stddev(float(packed[1]))
+            # dispatch-only: count, percentage, and stddev resolve in the
+            # pool's next batched transfer (typically at the ref-selection
+            # barrier), so this op costs zero device round trips
+            f.median_diff_stats = Stats.from_stddev(defer(diff_std))
             f.set_data(repaired)
             c.logf("%d: Removed %d bad pixels (%.2f%%) with sigma low=%.2f high=%.2f\n",
-                   f.id, n_bad, 100.0 * n_bad / f.pixels, self.sigma_low, self.sigma_high)
+                   f.id, defer(n_bad, conv=int),
+                   defer(n_bad.astype(jnp.float32) * (100.0 / f.pixels)),
+                   self.sigma_low, self.sigma_high)
         else:
+            import jax.numpy as jnp
+
             corrected, n_removed = ps.cosmetic_correction_bayer(
                 f.data, debayer.channel, debayer.color_filter_array, self.sigma_low, self.sigma_high)
-            n_removed = int(n_removed)
             f.set_data(corrected)
             c.logf("%d: Removed %d bad bayer pixels (%.2f%%) with sigma low=%.2f high=%.2f\n",
-                   f.id, n_removed, 100.0 * n_removed / f.pixels, self.sigma_low, self.sigma_high)
+                   f.id, defer(n_removed, conv=int),
+                   defer(jnp.asarray(n_removed, jnp.float32) * (100.0 / f.pixels)),
+                   self.sigma_low, self.sigma_high)
         return f
 
 
@@ -239,10 +245,15 @@ class OpStarDetect(UnaryOperator):
         if f.median_diff_stats is not None:
             median_diff_std = f.median_diff_stats.stddev
         data2d = f.data if f.data.ndim == 2 else f.data[0]
+        # Dispatch-only: thresholds chain on the device location/scale and
+        # the star list stays on device until the next barrier resolves
+        # everything pending in one transfer.
+        loc_dev, scale_dev = f.stats.device_location_scale()
         f.stars, f.hfr = find_stars(
-            data2d, f.stats.location, f.stats.scale, self.sigma,
-            self.bad_pixel_sigma, self.in_out_ratio, int(self.radius), median_diff_std)
-        c.logf("%d: Stars %d HFR %.2f %s\n", f.id, len(f.stars), f.hfr, f.stats)
+            data2d, loc_dev, scale_dev, self.sigma,
+            self.bad_pixel_sigma, self.in_out_ratio, int(self.radius),
+            median_diff_std, deferred=True)
+        c.logf("%d: Stars %d HFR %.2f %s\n", f.id, f.stars.count_lazy, f.hfr, f.stats)
 
         save = self.save
         if save is not None and getattr(save, "file_pattern", ""):

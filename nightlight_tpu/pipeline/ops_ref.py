@@ -135,6 +135,9 @@ class OpSelectReference(Operator):
         c.logf("Using image %d with score %.4g as %s reference.\n",
                ref_frame.id, ref_score, _TARGET_STRINGS[self.target])
         self._assign_results(c, ref_frame)
+        # Barrier: scoring above resolved every pending per-frame device
+        # value in one batched transfer; stream out the buffered log lines.
+        c.flush_log()
 
     def _assign_results(self, c: Context, ref_frame: Image) -> None:
         """Post reference data into the context (refframe.go:200-210)."""
@@ -218,6 +221,9 @@ class OpExportStats(UnaryOperator):
             c.stats_processed += 1
             if c.stats_processed == c.stats_total:
                 self._write_footer(c)
+        # Row values above resolved this frame's pending device stats;
+        # stream out the buffered per-frame log lines while we're at it.
+        c.flush_log()
         return f
 
     def _write_header(self, c: Context) -> None:

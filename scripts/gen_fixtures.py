@@ -1,0 +1,86 @@
+"""Generate synthetic 16MP BITPIX-16 light frames for end-to-end benchmarks.
+
+Star fields follow the verify-skill plausibility rules (fwhm ~8px, peak
+<= ~50x noise sigma so the bad-pixel rejector keeps the stars); frames drift
+a few px per frame to exercise alignment. Written as BITPIX 16 with
+BZERO/BSCALE like real camera files.
+
+Usage: python scripts/gen_fixtures.py OUTDIR [N_FRAMES] [SIZE]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def gen(outdir: str, n_frames: int = 24, size: int = 4096, seed: int = 7) -> list[str]:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nightlight_tpu.image import FITS_BLOCK_SIZE
+
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    h = w = size
+    n_stars = 40
+    sx = rng.uniform(64, w - 64, n_stars).astype(np.float32)
+    sy = rng.uniform(64, h - 64, n_stars).astype(np.float32)
+    # Peak amplitude = flux / (2*pi*sigma^2) ~= flux/72 -> 17-40x the noise
+    # sigma of 20: bright enough for the starSig=10 threshold, dim enough for
+    # the bad-pixel rejector (verify-skill plausibility rules).
+    flux = rng.uniform(25000.0, 60000.0, n_stars).astype(np.float32)
+    s = 8.0 / 2.3548
+    patch_r = 24
+    yy, xx = np.mgrid[-patch_r:patch_r + 1, -patch_r:patch_r + 1].astype(np.float32)
+
+    names = []
+    for i in range(n_frames):
+        img = rng.normal(1000.0, 20.0, size=(h, w)).astype(np.float32)
+        dx, dy = 4.0 * i, -3.0 * i
+        for j in range(n_stars):
+            cx, cy = sx[j] + dx, sy[j] + dy
+            icx, icy = int(round(cx)), int(round(cy))
+            if not (patch_r <= icx < w - patch_r and patch_r <= icy < h - patch_r):
+                continue
+            blob = flux[j] / (2 * np.pi * s * s) * np.exp(
+                -(((xx + icx - cx) ** 2) + ((yy + icy - cy) ** 2)) / (2 * s * s))
+            img[icy - patch_r:icy + patch_r + 1, icx - patch_r:icx + patch_r + 1] += blob
+        # Quantize to BITPIX 16 with BZERO 32768 (unsigned-style camera file).
+        raw = np.clip(np.round(img), 0, 65535).astype(np.uint16)
+        signed = (raw.astype(np.int32) - 32768).astype(">i2")
+        name = os.path.join(outdir, f"light{i:03d}.fits")
+        _write_fits16(name, signed, w, h)
+        names.append(name)
+    return names
+
+
+def _write_fits16(name: str, signed: np.ndarray, w: int, h: int) -> None:
+    lines = [
+        f"{'SIMPLE':<8}= {'T':>20} / {'':47}",
+        f"{'BITPIX':<8}= {'16':>20} / {'':47}",
+        f"{'NAXIS':<8}= {'2':>20} / {'':47}",
+        f"{'NAXIS1':<8}= {w:>20} / {'':47}",
+        f"{'NAXIS2':<8}= {h:>20} / {'':47}",
+        f"{'BZERO':<8}= {'32768':>20} / {'':47}",
+        f"{'BSCALE':<8}= {'1':>20} / {'':47}",
+        f"{'EXPOSURE':<8}= {'120.':>20} / {'':47}",
+        "END" + " " * 77,
+    ]
+    header = "".join(lines)
+    header += " " * (2880 - len(header) % 2880)
+    payload = signed.tobytes()
+    pad = len(payload) % 2880
+    with open(name, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(payload)
+        if pad:
+            f.write(b"\0" * (2880 - pad))
+
+
+if __name__ == "__main__":
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "bench_frames"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    names = gen(outdir, n, size)
+    print(f"wrote {len(names)} {size}x{size} frames to {outdir}")
