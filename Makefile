@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: all tests test bench native clean serve dryrun
+.PHONY: all tests test bench native clean serve dryrun parity
 
 all: native tests
 
@@ -14,6 +14,11 @@ tests test:
 # headline benchmark on the available accelerator (one JSON line)
 bench:
 	$(PY) bench.py
+
+# black-box REST log-diff against committed goldens (model: reference
+# test/Makefile). `make parity UPDATE=--update` regenerates the goldens.
+parity:
+	$(PY) scripts/parity.py $(UPDATE)
 
 # build the native C FITS codec explicitly (also built lazily on first use)
 native:

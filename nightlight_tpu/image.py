@@ -60,8 +60,10 @@ class Image:
     median_diff_stats: Optional[Stats] = None
     stars: Any = None  # detect.stars.StarList or None
     hfr: float = 0.0
-    trans: Any = None  # align.transform 6-vector or None
-    residual: float = 0.0
+    trans: Any = None  # align.transform 6-vector or None (possibly pending)
+    residual: Any = 0.0  # float or pending Deferred
+    # Pending alignment drop decision (see pipeline.ops_post.check_align_drop)
+    align_threshold: Any = None
 
     # -- constructors --------------------------------------------------------
     @classmethod

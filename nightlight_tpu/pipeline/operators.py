@@ -369,6 +369,13 @@ class OpSave(Operator):
             return f
         if f is None:
             raise ValueError(f"cannot save nil file to {self.file_pattern}")
+        # Apply a pending alignment drop decision before materializing pixels
+        # (the reference drops the frame before any post-align save).
+        from nightlight_tpu.pipeline.ops_post import check_align_drop
+
+        f = check_align_drop(f, c)
+        if f is None:
+            return None
         # Saving transfers pixels to the host anyway; resolve and stream any
         # buffered log lines first so output order stays natural.
         c.flush_log()

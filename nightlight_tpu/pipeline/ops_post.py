@@ -98,7 +98,7 @@ class OpAlign(UnaryOperator):
         if f is None:
             return None
         from nightlight_tpu.align import transform as tf
-        from nightlight_tpu.ops.resample import project
+        from nightlight_tpu.ops.resample import project_deferred
 
         self._init_aligner(c)
         aligner = self._aligner
@@ -120,20 +120,62 @@ class OpAlign(UnaryOperator):
             else:
                 oob = f.stats.location
 
-            trans, residual = aligner.align(f.naxisn, f.stars, f.id)
-            if residual > self.threshold:
-                c.logf("%d: Alignment residual %g is above threshold %g, skipping frame\n",
-                       f.id, residual, self.threshold)
+            # Dispatch-only: the alignment search, the threshold decision,
+            # and the warp all stay on device; the residual resolves at the
+            # next consumer (stack barrier or a save), where check_align_drop
+            # applies the reference's frame-dropping rule
+            # (postprocess.go:177-180) with the same log line.
+            out_def = aligner.align_deferred(f.naxisn, f.stars, f.id)
+            if out_def is None:
+                c.logf("%d: No alignment stars found, skipping frame\n", f.id)
                 return None
+            trans, residual, _ = out_def
             f.trans, f.residual = trans, residual
             c.logf("%d: Transform %s; residual %.3g oob %.3g\n",
-                   f.id, tf.to_string(trans), residual, oob)
+                   f.id, _LazyTransformStr(trans), residual, oob)
 
-            projected = project(f.data, aligner.naxisn, trans, oob)
+            projected = project_deferred(f.data, aligner.naxisn, trans.array, oob)
             out = Image.from_naxisn(list(aligner.naxisn), projected,
                                     ls_mode=f.stats.mode if f.stats else None)
             out.id, out.exposure = f.id, f.exposure
             out.stars, out.hfr = f.stars, f.hfr
             out.trans, out.residual = trans, residual
+            out.align_threshold = self.threshold
             f = out
         return f
+
+
+class _LazyTransformStr:
+    """Deferred-render wrapper for the Transform log formatting."""
+
+    def __init__(self, trans):
+        self._trans = trans
+
+    def render_deferred(self):
+        return str(self)
+
+    def __str__(self):
+        from nightlight_tpu.align import transform as tf
+        from nightlight_tpu.deferred import resolve_maybe
+
+        return tf.to_string(resolve_maybe(self._trans))
+
+
+def check_align_drop(f: Image, c: Context):
+    """Apply the deferred alignment threshold decision: returns None (and
+    logs the reference's skip line) when the frame's residual exceeded the
+    threshold, else the frame. Resolving the residual here batches with
+    everything else pending in the deferred pool."""
+    if f is None:
+        return None
+    thr = getattr(f, "align_threshold", None)
+    if thr is None:
+        return f
+    res = float(f.residual)
+    f.align_threshold = None
+    f.residual = res
+    if res > thr:
+        c.logf("%d: Alignment residual %g is above threshold %g, skipping frame\n",
+               f.id, res, thr)
+        return None
+    return f

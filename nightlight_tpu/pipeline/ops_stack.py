@@ -43,6 +43,14 @@ class OpStack(Operator):
             fs, err = materialize_all(ins, c.max_threads, False)
             if err is not None:
                 raise err
+            # Apply any deferred alignment threshold decisions: resolving the
+            # first residual flushes the whole pool in one transfer.
+            from nightlight_tpu.pipeline.ops_post import check_align_drop
+
+            fs = [check_align_drop(f, c) for f in fs]
+            fs = [f for f in fs if f is not None]
+            if not fs:
+                raise ValueError("No frames left to stack after alignment")
             return self.apply(fs, c)
 
         return [out]

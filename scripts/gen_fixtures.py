@@ -34,9 +34,14 @@ def gen(outdir: str, n_frames: int = 24, size: int = 4096, seed: int = 7) -> lis
     patch_r = 24
     yy, xx = np.mgrid[-patch_r:patch_r + 1, -patch_r:patch_r + 1].astype(np.float32)
 
+    # Master dark: the bias/thermal level the lights sit on top of.
+    dark = rng.normal(100.0, 3.0, size=(h, w)).astype(np.float32)
+    dark_raw = (np.clip(np.round(dark), 0, 65535).astype(np.int32) - 32768).astype(">i2")
+    _write_fits16(os.path.join(outdir, "dark.fits"), dark_raw, w, h)
+
     names = []
     for i in range(n_frames):
-        img = rng.normal(1000.0, 20.0, size=(h, w)).astype(np.float32)
+        img = dark + rng.normal(900.0, 20.0, size=(h, w)).astype(np.float32)
         dx, dy = 4.0 * i, -3.0 * i
         for j in range(n_stars):
             cx, cy = sx[j] + dx, sy[j] + dy
