@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: all tests test bench native clean serve dryrun parity
+.PHONY: all tests test bench native clean serve dryrun parity tpu-test
 
 all: native tests
 
@@ -14,6 +14,11 @@ tests test:
 # headline benchmark on the available accelerator (one JSON line)
 bench:
 	$(PY) bench.py
+
+# opt-in real-chip lane: compiles every Pallas kernel through Mosaic on the
+# attached TPU and diffs against the XLA path (skips cleanly without a TPU)
+tpu-test:
+	$(PY) -m pytest tests_tpu/ -x -q -p no:cacheprovider
 
 # black-box REST log-diff against committed goldens (model: reference
 # test/Makefile). `make parity UPDATE=--update` regenerates the goldens.

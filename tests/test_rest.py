@@ -50,6 +50,34 @@ class TestREST:
         categorized = {t for types in schema["categories"].values() for t in types}
         assert categorized == set(_operator_factories)
 
+    def test_schema_field_metadata(self, server):
+        """Slider ranges and enum dropdowns the web UI renders from."""
+        url, _ = server
+        with urllib.request.urlopen(url + "/api/v1/schema") as resp:
+            schema = json.loads(resp.read())
+        ops = schema["operators"]
+
+        def param(op, name):
+            return next(p for p in ops[op]["params"] if p["name"] == name)
+
+        # bounded numerics carry [min, max, step] matching the engine bounds
+        assert param("starDetect", "radius")["range"] == [0, 128, 1]
+        assert param("badPixel", "sigmaLow")["range"] == [0, 6, 0.01]
+        assert param("stretch", "location")["range"] == [0, 1, 0.005]
+        # enumerated params carry [label, value] pairs; values are the
+        # engine's IntEnum encodings
+        stack_modes = dict(param("stack", "mode")["enum"])
+        assert stack_modes["median (no sigmas)"] == 0
+        assert stack_modes["automatic selection"] == 6
+        assert len(param("stack", "weighting")["enum"]) == 4
+        assert [v for _, v in param("save", "saveMode")["enum"]] == [0, 1, 2, 3]
+        cfa = [v for _, v in param("debayer", "colorFilterArray")["enum"]]
+        assert cfa == ["RGGB", "GRBG", "GBRG", "BGGR"]
+        # every enum/range param is a real registry param
+        for op, meta in ops.items():
+            for p in meta["params"]:
+                assert not ("enum" in p and "range" in p)
+
     def test_job_streams_log(self, server, rng):
         url, tmp_path = server
         img = Image.from_naxisn([64, 64], rng.normal(50, 2, size=(64, 64)).astype(np.float32))
