@@ -24,6 +24,8 @@ import time
 def _enable_cache() -> None:
     import jax
 
+    if jax.default_backend() == "cpu":
+        return  # XLA:CPU AOT cache entries are not portable across hosts
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "nightlight_tpu", "jax")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

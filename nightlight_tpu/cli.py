@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-job", default="", help="JSON job specification to run")
     a("-trace", default="", help="write a JAX profiler trace of the run to this directory"
       " (the TPU analog of the reference's -cpuprofile/-memprofile)")
+    a("-shard", action="store_true",
+      help="row-shard frames across all attached devices (jax.sharding mesh);"
+      " every device program then runs SPMD with collectives over ICI")
 
     a("-out", default="out.fits", help="save output to file")
     a("-jpg", default="%auto", help="save 8bit preview of output as JPEG")
@@ -200,10 +203,18 @@ is an independent rebuild.
 def _enable_compilation_cache() -> None:
     """Persist XLA compilations across CLI invocations: a CLI tool is a fresh
     process every run, and the pipeline's kernels take tens of seconds to
-    compile cold on TPU."""
+    compile cold on TPU.
+
+    TPU-only: XLA:CPU persists AOT machine code keyed without the exact CPU
+    feature set, so a cache entry written on one host can SIGILL/abort on
+    another ("Loading XLA:CPU AOT result ... could lead to execution errors
+    such as SIGILL"). CPU compiles are fast and local; only remote TPU
+    compiles are worth persisting."""
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            return
         cache_dir = os.environ.get(
             "NIGHTLIGHT_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "nightlight_tpu", "jax"))
@@ -248,6 +259,17 @@ def main(argv=None) -> int:
 
     c = new_context(log=log_writer, st_memory=args.stMemory,
                     ls_mode=LSEstimatorMode(args.lsEst))
+    if args.shard:
+        import jax
+
+        from nightlight_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            c.mesh = make_mesh()
+            log_writer.write(f"Sharding frames over {len(jax.devices())} devices\n")
+        else:
+            log_writer.write("-shard requested but only one device attached; "
+                             "running unsharded\n")
     import nightlight_tpu.ops.stats as stats_mod
 
     stats_mod.DEFAULT_LS_ESTIMATOR = LSEstimatorMode(args.lsEst)

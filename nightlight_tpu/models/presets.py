@@ -71,9 +71,32 @@ def build_command_seq(args):
         return OpSequence(steps=[op_load_many, op_preproc])
 
     if cmd == "stack":
+        import os
+
+        from nightlight_tpu.pipeline.ops_stack import FusedPreprocessSpec
+
+        # Fused whole-batch preprocess (models/fastpath.py): eligible when
+        # the preprocess chain reduces to calibrate+badPixel+starDetect
+        # [+exportStats] -- i.e. every other op in build_preprocess_seq is a
+        # no-op under these args -- and no per-frame save patterns are set.
+        # NIGHTLIGHT_NO_FUSED=1 forces the per-frame path for debugging.
+        fused_spec = None
+        if (not args.debayer and args.debandH == 0 and args.debandV == 0
+                and args.binning <= 1 and args.preScale == 1 and args.preOffset == 0
+                and args.backGrid == 0 and not args.pre and not args.stars
+                and args.bpSigLow > 0 and args.bpSigHigh > 0
+                and args.starRadius > 0 and args.starSig > 0
+                and not os.environ.get("NIGHTLIGHT_NO_FUSED")):
+            fused_spec = FusedPreprocessSpec(
+                dark=args.dark, flat=args.flat,
+                bp_sigma_low=args.bpSigLow, bp_sigma_high=args.bpSigHigh,
+                star_radius=args.starRadius, star_sig=args.starSig,
+                star_bp_sig=args.starBpSig, star_in_out=args.starInOut,
+                export_stats=args.exportStats)
+
         return OpSequence(steps=[
             op_load_many,
-            OpStackBatches(per_batch=OpSequence(steps=[
+            OpStackBatches(fused_spec=fused_spec, per_batch=OpSequence(steps=[
                 op_preproc,
                 OpSelectReference(target=int(SelRefTarget.Histo), mode=args.histoRef,
                                   star_detect=op_star_detect),
@@ -81,7 +104,12 @@ def build_command_seq(args):
                                   star_detect=op_star_detect),
                 OpFilter(min_stars=args.minStars),
                 OpMatchHistogram(mode=args.normHist),
-                OpAlign(k=args.alignK, threshold=args.alignT, oob_mode=int(OutOfBoundsMode.NaN)),
+                # defer_warp: project at the stack/save barrier with the
+                # host-resolved transform (gather-free shift-blend warp);
+                # valid here because OpSave and OpStack both apply
+                # check_align_drop before touching frame data
+                OpAlign(k=args.alignK, threshold=args.alignT,
+                        oob_mode=int(OutOfBoundsMode.NaN), defer_warp=True),
                 OpSave(file_pattern=args.post, export_mode=int(ExportMode.MinMax), gamma=1),
                 # negative sigma = goal-seek sigma bounds from target clip
                 # percentages (documented behavior of -stSigLow/-stSigHigh=-1;

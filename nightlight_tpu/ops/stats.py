@@ -488,6 +488,17 @@ class Stats:
         return s
 
     @classmethod
+    def with_all(cls, data, width: int, vmin: float, vmax: float, mean: float,
+                 location: float, scale: float,
+                 mode: LSEstimatorMode | None = None) -> "Stats":
+        """Stats with min/mean/max AND location/scale precomputed (the fused
+        batch preprocess computes all five in one device program)."""
+        s = cls.with_mmm(data, width, vmin, vmax, mean, mode)
+        s._location, s._scale = float(location), float(scale)
+        s._have_locscale = True
+        return s
+
+    @classmethod
     def from_stddev(cls, stddev) -> "Stats":
         """Data-free Stats carrying only a stddev (the median-diff stats kept
         for star detection after BadPixelMap frees its data,

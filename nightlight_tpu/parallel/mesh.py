@@ -44,6 +44,66 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_on_mesh(data, mesh: Mesh, axis: str = "pix"):
+    """Row-shard an image array of shape (..., H, W) across the mesh.
+
+    This is the one placement the operator pipeline needs: once a loaded
+    frame lives row-sharded, XLA's sharding propagation runs every
+    downstream jitted program (calibrate, bad-pixel, star detect, histogram
+    match, warp, stack, stretch) sharded without per-op annotations,
+    inserting ICI collectives only where pixels cross shard rows. Arrays
+    whose row count does not divide the mesh stay replicated.
+    """
+    n = int(mesh.devices.size)
+    if data.ndim < 2 or data.shape[-2] % n != 0:
+        spec = P()
+    else:
+        spec = P(*([None] * (data.ndim - 2) + [axis, None]))
+    return jax.device_put(data, NamedSharding(mesh, spec))
+
+
+def sharded_star_detect(mesh: Mesh, radius: int = 16, max_candidates: int = 2048,
+                        axis: str = "pix"):
+    """Jit the 6-phase star detector with the image row-sharded over the
+    mesh (the detector's global reductions -- threshold stats, top-k
+    candidate selection -- become collectives). Returns the compiled
+    function (img, location, scale, star_sig, bp_sig, star_in_out,
+    median_diff_std) -> packed star arrays; outputs are replicated since
+    star lists are small."""
+    from functools import partial as _partial
+
+    from nightlight_tpu.detect.stars import _find_stars_device
+
+    img_sharding = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+
+    def fn(img, location, scale, star_sig, bp_sig, star_in_out, median_diff_std):
+        return _find_stars_device(img, location, scale, star_sig, bp_sig,
+                                  star_in_out, radius, median_diff_std,
+                                  max_candidates)
+
+    return jax.jit(fn,
+                   in_shardings=(img_sharding, rep, rep, rep, rep, rep, rep),
+                   out_shardings=rep)
+
+
+def sharded_auto_stretch(mesh: Mesh, max_iter: int = 50, axis: str = "pix"):
+    """Jit the iterative auto-stretch with the image row-sharded: the
+    per-iteration histogram/statistics reductions become psums over ICI and
+    the gamma/black-point transforms stay local to each shard."""
+    from nightlight_tpu.ops.autostretch import auto_stretch
+
+    img_sharding = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+
+    def fn(data, target_loc, target_scale):
+        return auto_stretch(data, target_loc, target_scale, max_iter=max_iter)
+
+    return jax.jit(fn,
+                   in_shardings=(img_sharding, rep, rep),
+                   out_shardings=(img_sharding, rep, rep, rep))
+
+
 def _pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
                    loc0, scale0, sigma_low, sigma_high, mode: int,
                    use_pallas: bool = False):

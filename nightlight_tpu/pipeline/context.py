@@ -37,6 +37,12 @@ class Context:
     stack_memory_mb: int = 0
     max_threads: int = 0
 
+    # Optional jax.sharding.Mesh: when set, loaded frames are placed
+    # row-sharded across it and XLA's sharding propagation runs every
+    # downstream device program (calibrate, detect, match, warp, stack,
+    # stretch) sharded, inserting collectives where pixels cross shards.
+    mesh: Any = None
+
     dark_frame: Any = None  # Image
     flat_frame: Any = None  # Image
     align_naxisn: Optional[list] = None

@@ -215,6 +215,12 @@ class OpLoad(Operator):
             from nightlight_tpu.io.fits import read_file
 
             f = read_file(self.file_name, id=self.id, log=c.log, to_device=True)
+        if c.mesh is not None:
+            # Row-shard across the context mesh; every downstream device
+            # program then runs sharded via XLA propagation (parallel/mesh.py)
+            from nightlight_tpu.parallel.mesh import place_on_mesh
+
+            f.data = place_on_mesh(f.data, c.mesh)
         if f.stats is not None:
             f.stats.replace_data(f.data)
             f.stats.mode = c.ls_estimator_mode

@@ -77,10 +77,18 @@ class OpAlign(UnaryOperator):
         "oob_mode": ("oobMode", int(OutOfBoundsMode.NaN)),
     }
 
-    def __init__(self, **kwargs):
+    def __init__(self, defer_warp: bool = False, **kwargs):
         super().__init__(**kwargs)
         self._mutex = threading.Lock()
         self._aligner = None
+        # wiring-only (set by the CLI stack preset): postpone the projection
+        # to the stack/save barrier, where the transform is host-resolved
+        # anyway for the drop decision -- the warp then runs through the
+        # gather-free shift-blend path (ops/resample.py), ~1000x faster than
+        # the on-device gather warp for alignment-sized transforms. Only
+        # valid when every downstream consumer applies check_align_drop
+        # before reading frame data (OpStack and OpSave do).
+        self.defer_warp = defer_warp
 
     def _init_aligner(self, c: Context) -> None:
         with self._mutex:
@@ -98,7 +106,6 @@ class OpAlign(UnaryOperator):
         if f is None:
             return None
         from nightlight_tpu.align import transform as tf
-        from nightlight_tpu.ops.resample import project_deferred
 
         self._init_aligner(c)
         aligner = self._aligner
@@ -120,11 +127,12 @@ class OpAlign(UnaryOperator):
             else:
                 oob = f.stats.location
 
-            # Dispatch-only: the alignment search, the threshold decision,
-            # and the warp all stay on device; the residual resolves at the
-            # next consumer (stack barrier or a save), where check_align_drop
+            # Dispatch-only: the alignment search stays on device. With
+            # defer_warp the residual and transform resolve at the next
+            # consumer (stack barrier or a save), where check_align_drop
             # applies the reference's frame-dropping rule
-            # (postprocess.go:177-180) with the same log line.
+            # (postprocess.go:177-180) with the same log line and projects
+            # the kept frames.
             out_def = aligner.align_deferred(f.naxisn, f.stars, f.id)
             if out_def is None:
                 c.logf("%d: No alignment stars found, skipping frame\n", f.id)
@@ -134,9 +142,28 @@ class OpAlign(UnaryOperator):
             c.logf("%d: Transform %s; residual %.3g oob %.3g\n",
                    f.id, _LazyTransformStr(trans), residual, oob)
 
-            projected = project_deferred(f.data, aligner.naxisn, trans.array, oob)
-            out = Image.from_naxisn(list(aligner.naxisn), projected,
-                                    ls_mode=f.stats.mode if f.stats else None)
+            if self.defer_warp:
+                # keep the un-warped data; check_align_drop projects kept
+                # frames with the host-resolved transform (shift-blend path)
+                out = Image.from_naxisn(list(aligner.naxisn), f.data,
+                                        ls_mode=f.stats.mode if f.stats else None)
+                out.pending_warp_oob = oob
+            else:
+                # resolve the transform now (one batched pool flush) and warp
+                # through the host-transform path: for alignment-sized
+                # transforms the gather-free shift-blend warp is ~1000x
+                # faster than the on-device gather, far outweighing the
+                # flush round trip
+                import numpy as np
+
+                from nightlight_tpu.deferred import resolve_maybe
+                from nightlight_tpu.ops.resample import project
+
+                trans_host = np.asarray(resolve_maybe(trans), np.float32)
+                projected = project(f.data, aligner.naxisn, trans_host,
+                                    float(resolve_maybe(oob)))
+                out = Image.from_naxisn(list(aligner.naxisn), projected,
+                                        ls_mode=f.stats.mode if f.stats else None)
             out.id, out.exposure = f.id, f.exposure
             out.stars, out.hfr = f.stars, f.hfr
             out.trans, out.residual = trans, residual
@@ -178,4 +205,18 @@ def check_align_drop(f: Image, c: Context):
         c.logf("%d: Alignment residual %g is above threshold %g, skipping frame\n",
                f.id, res, thr)
         return None
+    oob = getattr(f, "pending_warp_oob", None)
+    if oob is not None:
+        # deferred projection: the transform is host-resolved now (same
+        # flush as the residual), so the warp routes through the gather-free
+        # shift-blend path for alignment-sized transforms
+        import numpy as np
+
+        from nightlight_tpu.deferred import resolve_maybe
+        from nightlight_tpu.ops.resample import project
+
+        trans = np.asarray(resolve_maybe(f.trans), np.float32)
+        f.trans = trans
+        f.set_data(project(f.data, f.naxisn, trans, oob))
+        f.pending_warp_oob = None
     return f

@@ -5,6 +5,7 @@ larger-than-memory randomized batching engine)
 from __future__ import annotations
 
 import random
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 
@@ -12,6 +13,27 @@ from nightlight_tpu.image import Image
 from nightlight_tpu.ops import stack as stk
 from nightlight_tpu.pipeline.context import Context
 from nightlight_tpu.pipeline.operators import OpSequence, Operator, materialize_all, register
+
+
+@dataclass
+class FusedPreprocessSpec:
+    """Parameters for the fused whole-batch preprocess executor
+    (models/fastpath.run_fused_preprocess). Attached to OpStackBatches by
+    the CLI preset builder when the per-batch DAG is the canonical
+    calibrate -> badPixel -> starDetect [-> exportStats] chain; the fused
+    program replaces exactly per_batch.steps[0] (the preprocess OpSequence),
+    and the remaining steps run unchanged. Wiring-only, like the reference's
+    json:"-" operator links -- never part of the JSON schema."""
+
+    dark: str = ""
+    flat: str = ""
+    bp_sigma_low: float = 3.0
+    bp_sigma_high: float = 5.0
+    star_radius: int = 16
+    star_sig: float = 15.0
+    star_bp_sig: float = 5.0
+    star_in_out: float = 1.4
+    export_stats: str | None = None
 
 
 @register
@@ -108,9 +130,13 @@ class OpStackBatches(Operator):
     TYPE = "stackBatches"
     PARAMS = {}
 
-    def __init__(self, per_batch: OpSequence | None = None, **kwargs):
+    def __init__(self, per_batch: OpSequence | None = None,
+                 fused_spec: FusedPreprocessSpec | None = None, **kwargs):
         super().__init__(**kwargs)
         self.per_batch = per_batch or OpSequence()
+        # wiring-only (set by the CLI preset builder): fused whole-batch
+        # preprocess replacing per_batch.steps[0]
+        self.fused_spec = fused_spec
 
     def to_dict(self) -> dict:
         return {"type": self.TYPE, "perBatch": self.per_batch.to_dict()}
@@ -139,7 +165,7 @@ class OpStackBatches(Operator):
         for b in range(num_batches):
             batch = ins_perm[b * batch_size : (b + 1) * batch_size]
             c.logf("\nStarting batch %d of %d with %d frames...\n", b + 1, num_batches, len(batch))
-            promises = self.per_batch.make_promises(batch, c)
+            promises = self._batch_promises(batch, c)
             if len(promises) != 1:
                 raise ValueError("stacking returned more than one promise")
             batch_img = promises[0]()
@@ -158,6 +184,27 @@ class OpStackBatches(Operator):
         if num_batches > 1:
             stack_img.set_data(stk.stack_incremental_finalize(stack_acc, float(stack_frames)))
         return stack_img
+
+    def _batch_promises(self, batch, c: Context):
+        """Promise chain for one batch: the fused whole-batch executor when
+        eligible (one device program + one sync for calibrate/badPixel/
+        starDetect, models/fastpath.py), else the general per-frame DAG."""
+        if self.fused_spec is None or not self.per_batch.steps:
+            return self.per_batch.make_promises(batch, c)
+
+        from nightlight_tpu.models.fastpath import (
+            fused_batch_eligible, run_fused_preprocess)
+
+        # materialize the loads (each logs its "Loaded" line as usual)
+        images, err = materialize_all(batch, c.max_threads, False)
+        if err is not None:
+            raise err
+        wrapped = [lambda img=img: img for img in images]
+        if not fused_batch_eligible(images, c):
+            return self.per_batch.make_promises(wrapped, c)
+        run_fused_preprocess(images, c, self.fused_spec)
+        tail = OpSequence(steps=list(self.per_batch.steps[1:]))
+        return tail.make_promises(wrapped, c)
 
     @staticmethod
     def _device_memory_mb() -> int:
@@ -204,7 +251,11 @@ class OpStackBatches(Operator):
         c.logf("%d images of %dx%d pixels (%.1f MPixels), which each take %d MiB in-memory"
                " as floating point.\n", num_frames, width, height, pixels * 1e-6, mib)
 
-        budget_mb = min(c.stack_memory_mb, self._device_memory_mb() * 6 // 10)
+        # the fused executor transiently holds raw + repaired batch arrays
+        # (2x frames) before the per-frame buffers take over, so it gets
+        # half the device budget
+        device_tenths = 3 if self.fused_spec is not None else 6
+        budget_mb = min(c.stack_memory_mb, self._device_memory_mb() * device_tenths // 10)
         available_frames = (budget_mb << 20) // nbytes
         max_threads = c.max_threads
         c.logf("CPU has %d threads. Physical memory is %d MiB, -op.Memory is %d MiB,"

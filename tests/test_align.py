@@ -147,3 +147,92 @@ class TestProject:
         trans = np.array([1.0, 0.0, 100.0, 0.0, 1.0, 100.0], np.float32)
         out = np.asarray(project(jnp.asarray(img), [16, 16], trans, -7.0))
         assert (out == -7.0).all()
+
+
+class TestShiftWarp:
+    """Gather-free shift-blend warp vs the general gather warp: identical
+    results for alignment-sized transforms; large transforms fall back."""
+
+    def _both(self, img, dest_naxisn, trans, oob=np.nan):
+        from nightlight_tpu.align import transform as tf
+        from nightlight_tpu.ops.resample import _shift_plan, _warp, _warp_shift
+
+        inv = tf.invert(trans)
+        plan = _shift_plan(inv, img.shape, dest_naxisn)
+        dest_w, dest_h = int(dest_naxisn[0]), int(dest_naxisn[1])
+        gather = np.asarray(_warp(jnp.asarray(img), jnp.asarray(inv),
+                                  float(oob), dest_h, dest_w))
+        return plan, gather
+
+    def test_alignment_transform_matches_gather(self, rng):
+        from nightlight_tpu.ops.resample import _warp_shift
+
+        img = rng.uniform(0, 100, size=(64, 80)).astype(np.float32)
+        # realistic alignment result: tiny rotation/scale + dither offset
+        trans = np.array([0.99991, 0.00007, 15.99,
+                          0.00001, 1.00010, -12.04], np.float32)
+        plan, gather = self._both(img, [80, 64], trans)
+        assert plan is not None
+        kmin, mmin, n_k, n_m = plan
+        from nightlight_tpu.align import transform as tf
+
+        out = np.asarray(_warp_shift(
+            jnp.asarray(img), jnp.asarray(tf.invert(trans), np.float32),
+            jnp.float32(np.nan), jnp.int32(kmin), jnp.int32(mmin),
+            64, 80, n_k, n_m))
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(gather))
+        m = ~np.isnan(gather)
+        np.testing.assert_allclose(out[m], gather[m], rtol=0, atol=1e-4)
+
+    def test_project_routes_small_transforms_to_shift_path(self, rng):
+        from unittest import mock
+
+        import nightlight_tpu.ops.resample as rs
+
+        img = jnp.asarray(rng.uniform(0, 100, size=(32, 48)).astype(np.float32))
+        trans = np.array([1.0, 0.0, 2.5, 0.0, 1.0, -1.5], np.float32)
+        with mock.patch.object(rs, "_warp_shift", wraps=rs._warp_shift) as spy:
+            project(img, [48, 32], trans, np.nan)
+        assert spy.called
+
+    def test_large_rotation_falls_back_to_gather(self, rng):
+        from nightlight_tpu.align import transform as tf
+        from nightlight_tpu.ops.resample import _shift_plan
+
+        # ~3 degree rotation: offsets span far more than the shift budget
+        th = np.deg2rad(3.0)
+        trans = np.array([np.cos(th), -np.sin(th), 0.0,
+                          np.sin(th), np.cos(th), 0.0], np.float32)
+        assert _shift_plan(tf.invert(trans), (512, 512), [512, 512]) is None
+        # and project still produces correct output through the gather
+        img = rng.uniform(0, 100, size=(64, 64)).astype(np.float32)
+        out = np.asarray(project(jnp.asarray(img), [64, 64], trans, np.nan))
+        assert np.isfinite(out).any()
+
+    def test_huge_translation_falls_back(self, rng):
+        from nightlight_tpu.align import transform as tf
+        from nightlight_tpu.ops.resample import _SHIFT_PAD, _shift_plan
+
+        trans = np.array([1.0, 0.0, float(_SHIFT_PAD + 50), 0.0, 1.0, 0.0], np.float32)
+        assert _shift_plan(tf.invert(trans), (2048, 2048), [2048, 2048]) is None
+
+    def test_deferred_warp_e2e_matches_immediate(self, tmp_path, monkeypatch):
+        """CLI stack (defer_warp path) vs per-frame JSON align op (immediate
+        device warp): same planted-shift recovery, same stacked pixels."""
+        from nightlight_tpu.io import fits as nlfits
+        from tests.test_pipeline_e2e import run_cli, write_frames
+
+        rng = np.random.default_rng(5)
+        write_frames(tmp_path, rng, n_frames=3)
+        rc = run_cli(["-out", "a.fits", "-jpg", "", "-exportStats", "", "-log", "",
+                      "stack", "light*.fits"], tmp_path)
+        assert rc == 0
+        monkeypatch.setenv("NIGHTLIGHT_NO_FUSED", "1")
+        rc = run_cli(["-out", "b.fits", "-jpg", "", "-exportStats", "", "-log", "",
+                      "stack", "light*.fits"], tmp_path)
+        assert rc == 0
+        a = np.asarray(nlfits.read_file(str(tmp_path / "a.fits")).data)
+        b = np.asarray(nlfits.read_file(str(tmp_path / "b.fits")).data)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=0, atol=1e-3)

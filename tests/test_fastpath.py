@@ -48,3 +48,76 @@ class TestFusedPreprocess:
         # frame 1: mult = 5/4, off = 100 - 95*5/4
         expected = np.asarray(frames)[1] * 1.25 + (100.0 - 95.0 * 1.25)
         np.testing.assert_allclose(np.asarray(out)[1], expected, rtol=1e-5)
+
+
+class TestFusedStackEngine:
+    """The fused whole-batch executor (default CLI stack path) against the
+    per-frame operator path (NIGHTLIGHT_NO_FUSED=1): identical logs modulo
+    line order, identical stacked output."""
+
+    def _run(self, tmp_path, monkeypatch, fused: bool, out_name: str):
+        import os
+
+        from tests.test_pipeline_e2e import run_cli, write_frames
+
+        if fused:
+            monkeypatch.delenv("NIGHTLIGHT_NO_FUSED", raising=False)
+        else:
+            monkeypatch.setenv("NIGHTLIGHT_NO_FUSED", "1")
+        rng = np.random.default_rng(42)
+        write_frames(tmp_path, rng, n_frames=4)
+        log_path = tmp_path / f"{out_name}.log"
+        rc = run_cli(["-out", out_name, "-jpg", "", "-exportStats", "",
+                      "-log", str(log_path), "stack", "light*.fits"], tmp_path)
+        assert rc == 0
+        return (tmp_path / out_name), log_path.read_text()
+
+    def test_fused_equals_per_frame(self, tmp_path, monkeypatch):
+        from nightlight_tpu.io import fits as nlfits
+
+        out_f, log_f = self._run(tmp_path, monkeypatch, True, "fused.fits")
+        out_p, log_p = self._run(tmp_path, monkeypatch, False, "plain.fits")
+
+        a = np.asarray(nlfits.read_file(str(out_f)).data)
+        b = np.asarray(nlfits.read_file(str(out_p)).data)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=0, atol=1e-4)
+
+        # every per-frame content line must appear in both logs (order may
+        # differ: the fused path groups phases, the per-frame path groups
+        # frames). Floats are rounded to 5 significant digits -- the vmapped
+        # reductions may differ from the per-frame ones by 1 ulp.
+        def content(log):
+            import re
+
+            keep = ("Removed", "Stars", "Transform", "Stacking",
+                    "Clipped", "matching reference histogram", "Loaded",
+                    "as histogram reference", "as alignment reference")
+
+            def norm(ln):
+                return re.sub(r"-?\d+\.\d+",
+                              lambda m: f"{float(m.group()):.5g}", ln)
+
+            return sorted(norm(ln) for ln in log.splitlines()
+                          if any(k in ln for k in keep))
+
+        assert content(log_f) == content(log_p)
+
+    def test_fused_is_active_by_default(self, tmp_path, monkeypatch, capsys):
+        """Guard against the eligibility gate silently disabling the fused
+        engine: the canonical stack args must route through it."""
+        from unittest import mock
+
+        from nightlight_tpu.models import fastpath
+        from tests.test_pipeline_e2e import run_cli, write_frames
+
+        monkeypatch.delenv("NIGHTLIGHT_NO_FUSED", raising=False)
+        rng = np.random.default_rng(1)
+        write_frames(tmp_path, rng, n_frames=2)
+        with mock.patch.object(fastpath, "run_fused_preprocess",
+                               side_effect=fastpath.run_fused_preprocess) as spy:
+            rc = run_cli(["-out", "o.fits", "-jpg", "", "-exportStats", "",
+                          "-log", "", "stack", "light*.fits"], tmp_path)
+        assert rc == 0
+        assert spy.called

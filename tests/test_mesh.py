@@ -179,3 +179,123 @@ class TestHaloWarp:
         # stacker then fills every pixel with RefFrameLoc (=1.0,
         # stack.go:288-297) rather than leaking wrong neighbor-row values
         assert np.all(out == 1.0)
+
+
+class TestShardedDetectAndStretch:
+    """Explicit sharded wrappers for the remaining pipeline phases: star
+    detection (global top-k/reductions become collectives) and the iterative
+    auto-stretch (histogram statistics become psums)."""
+
+    def test_sharded_star_detect_matches(self, mesh, rng):
+        from nightlight_tpu.detect.stars import _find_stars_device
+        from nightlight_tpu.parallel.mesh import place_on_mesh, sharded_star_detect
+        from tests.test_stars import synth_field
+
+        stars = [(40.0, 50.0), (120.0, 80.0), (200.0, 200.0), (60.0, 180.0),
+                 (150.0, 30.0), (230.0, 120.0)]
+        img = synth_field(rng, h=256, w=256, stars=stars, bg=100.0, noise=2.0,
+                          flux=8000.0, fwhm=8.0)
+        sharded = place_on_mesh(jnp.asarray(img), mesh)
+        assert not sharded.sharding.is_fully_replicated
+        args = (jnp.float32(100.0), jnp.float32(2.0), jnp.float32(10.0),
+                jnp.float32(0.0), jnp.float32(1.4), jnp.float32(1.0))
+        det = sharded_star_detect(mesh, radius=16, max_candidates=128)
+        got = det(sharded, *args)
+        want = _find_stars_device(jnp.asarray(img), *args[:5], 16, args[5], 128)
+        assert int(got[5]) == int(want[5]) == len(stars)
+        np.testing.assert_allclose(np.asarray(got[0])[:len(stars)],
+                                   np.asarray(want[0])[:len(stars)], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got[4])[:len(stars)],
+                                   np.asarray(want[4])[:len(stars)], atol=1e-4)
+
+    def test_sharded_auto_stretch_matches(self, mesh, rng):
+        from nightlight_tpu.ops.autostretch import auto_stretch
+        from nightlight_tpu.parallel.mesh import place_on_mesh, sharded_auto_stretch
+
+        img = rng.normal(0.1, 0.01, size=(64, 64)).astype(np.float32).clip(0, 1)
+        st = sharded_auto_stretch(mesh, max_iter=8)
+        s_out, _, s_n, _ = st(place_on_mesh(jnp.asarray(img), mesh),
+                              jnp.float32(0.25), jnp.float32(0.05))
+        u_out, _, u_n, _ = auto_stretch(jnp.asarray(img), 0.25, 0.05, max_iter=8)
+        assert int(s_n) == int(u_n)
+        np.testing.assert_allclose(np.asarray(s_out), np.asarray(u_out),
+                                   rtol=1e-5, atol=1e-6)
+        assert len(s_out.addressable_shards) == 8
+
+    def test_place_on_mesh_replicates_indivisible_rows(self, mesh):
+        from nightlight_tpu.parallel.mesh import place_on_mesh
+
+        odd = place_on_mesh(jnp.zeros((63, 16)), mesh)
+        assert odd.sharding.is_fully_replicated
+        even = place_on_mesh(jnp.zeros((3, 64, 16)), mesh)  # (C, H, W)
+        assert not even.sharding.is_fully_replicated
+
+
+class TestMeshContextPipeline:
+    """Context.mesh: frames load row-sharded and the whole operator job
+    (load -> bad pixel -> detect -> select ref -> match -> align -> stack ->
+    save) runs SPMD via sharding propagation. Results must match the
+    unsharded job."""
+
+    def _run_job(self, tmp_path, sub, mesh):
+        import io
+        import os
+
+        from nightlight_tpu.pipeline import materialize_all, op_from_dict
+        from nightlight_tpu.pipeline.context import new_context
+
+        job = {"type": "seq", "steps": [
+            {"type": "loadMany", "filePatterns": ["light*.fits"]},
+            {"type": "badPixel", "sigmaLow": 3.0, "sigmaHigh": 5.0},
+            {"type": "starDetect", "radius": 16, "sigma": 10.0,
+             "badPixelSigma": 5.0, "inOutRatio": 1.4},
+            {"type": "selectRef", "target": 1, "mode": "%starsHFR"},
+            {"type": "selectRef", "target": 0, "mode": "%starsHFR"},
+            {"type": "matchHist", "mode": 2},
+            {"type": "align", "k": 20, "threshold": 1.0, "oobMode": 0},
+            {"type": "stack", "mode": 2, "sigmaLow": 2.75, "sigmaHigh": 2.75},
+            {"type": "save", "filePattern": os.path.join(str(tmp_path), sub)},
+        ]}
+        log = io.StringIO()
+        c = new_context(log=log)
+        c.mesh = mesh
+        op = op_from_dict(job)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            promises = op.make_promises([], c)
+            _, err = materialize_all(promises, c.max_threads, True)
+            if err is not None:
+                raise err
+            c.finalize()
+        finally:
+            os.chdir(cwd)
+        return log.getvalue()
+
+    def test_full_job_sharded_matches_unsharded(self, mesh, rng, tmp_path):
+        from nightlight_tpu.io import fits as nlfits
+        from tests.test_pipeline_e2e import write_frames
+
+        write_frames(tmp_path, rng, n_frames=4)
+        log_s = self._run_job(tmp_path, "sharded.fits", mesh)
+        log_u = self._run_job(tmp_path, "unsharded.fits", None)
+        assert "Stacking 4 frames" in log_s
+
+        out_s = nlfits.read_file(str(tmp_path / "sharded.fits"))
+        out_u = nlfits.read_file(str(tmp_path / "unsharded.fits"))
+        a, b = np.asarray(out_s.data), np.asarray(out_u.data)
+        m = ~(np.isnan(a) | np.isnan(b))
+        assert m.mean() > 0.9
+        np.testing.assert_allclose(a[m], b[m], rtol=1e-4, atol=1e-3)
+
+    def test_loaded_frame_is_row_sharded(self, mesh, rng, tmp_path):
+        from nightlight_tpu.pipeline.context import new_context
+        from nightlight_tpu.pipeline.operators import OpLoad
+        from tests.test_pipeline_e2e import write_frames
+
+        names = write_frames(tmp_path, rng, n_frames=1)
+        c = new_context()
+        c.mesh = mesh
+        f = OpLoad(id=0, file_name=names[0]).apply(None, c)
+        assert not f.data.sharding.is_fully_replicated
+        assert len(f.data.addressable_shards) == 8
