@@ -139,7 +139,8 @@ def _overlap_filter(x, y, mass, valid, radius: float):
     return alive
 
 
-def _center_of_mass(img, cy0, cx0, x0, y0, threshold, radius: int):
+def _center_of_mass(img, cy0, cx0, x0, y0, threshold, radius: int,
+                    use_pallas_gather: bool = False):
     """Iterative CoM refinement for all stars at once (findstars.go:274-322).
 
     <=10 rounds of recentering, stars below the 0.01px shift threshold stop
@@ -156,7 +157,14 @@ def _center_of_mass(img, cy0, cx0, x0, y0, threshold, radius: int):
     """
     big = 2 * radius  # window radius + max tracked drift
     size = 2 * big + 1
-    patch, ok = _patches(img, cy0, cx0, big)  # single gather
+    if use_pallas_gather:
+        # per-candidate DMA instead of XLA's element-wise gather (~60x,
+        # ops/gather_pallas.py); identical mask contract
+        from nightlight_tpu.ops.gather_pallas import gather_patches_pallas
+
+        patch, ok = gather_patches_pallas(img, cy0, cx0, big)
+    else:
+        patch, ok = _patches(img, cy0, cx0, big)  # single gather
     val = jnp.maximum(jnp.where(ok, patch, 0.0) - threshold, 0.0)
     val = jnp.where(ok, val, 0.0)  # (K, size, size)
     offs = jnp.arange(size, dtype=jnp.float32) - big  # rel. to initial center
@@ -226,9 +234,10 @@ def _hfr(big_patch, location, radius: int):
     return hfr, mass_safe, inner_mass, pixels, inner_pixels
 
 
-@partial(jax.jit, static_argnames=("radius", "max_candidates"))
+@partial(jax.jit, static_argnames=("radius", "max_candidates", "use_pallas_gather"))
 def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
-                       radius: int, median_diff_std, max_candidates: int):
+                       radius: int, median_diff_std, max_candidates: int,
+                       use_pallas_gather: bool = False):
     h, w = img.shape
     threshold = location + scale * star_sig
 
@@ -263,7 +272,9 @@ def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
 
     # Phase 4: center-of-mass refinement.
     com_threshold = location + scale * star_sig * 0.5
-    cy, cx, x, y, mass, big_patch = _center_of_mass(img, cy, cx, x, y, com_threshold, radius)
+    cy, cx, x, y, mass, big_patch = _center_of_mass(
+        img, cy, cx, x, y, com_threshold, radius,
+        use_pallas_gather=use_pallas_gather)
 
     # Phase 5: overlap filter again with refined positions and CoM masses.
     valid = _overlap_filter(x, y, mass, valid, float(radius))
@@ -386,10 +397,13 @@ def find_stars(img, location, scale, star_sig: float, bp_sig: float,
         else:
             median_diff_std = 0.0
 
+    from nightlight_tpu.ops.gather_pallas import pallas_gather_available
+
     x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
         img, _as_device_scalar(location), _as_device_scalar(scale),
         jnp.float32(star_sig), jnp.float32(bp_sig), jnp.float32(star_in_out),
         int(radius), _as_device_scalar(median_diff_std), max_candidates,
+        use_pallas_gather=pallas_gather_available(),
     )
     packed_dev = jnp.stack([x, y, value, mass, hfr])
 

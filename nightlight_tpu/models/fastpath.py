@@ -32,10 +32,11 @@ from nightlight_tpu.ops.prestack import bad_pixel_repair
 from nightlight_tpu.ops.stats import min_mean_max, sigma_clipped_median_qn
 
 
-@partial(jax.jit, static_argnames=("radius", "max_candidates"))
+@partial(jax.jit, static_argnames=("radius", "max_candidates", "use_pallas_gather"))
 def _preprocess_batch_device(frames, bp_sigma_low, bp_sigma_high,
                              star_sig, star_bp_sig, star_in_out,
-                             radius: int, max_candidates: int):
+                             radius: int, max_candidates: int,
+                             use_pallas_gather: bool = False):
     """One device program for the whole batch. frames: (N, H, W)."""
 
     def per_frame(img):
@@ -46,7 +47,8 @@ def _preprocess_batch_device(frames, bp_sigma_low, bp_sigma_high,
             flat, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
         x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
             repaired, loc, scale, star_sig, star_bp_sig, star_in_out,
-            radius, diff_std, max_candidates)
+            radius, diff_std, max_candidates,
+            use_pallas_gather=use_pallas_gather)
         scalars = jnp.stack([n_bad.astype(jnp.float32), diff_std, mn, me, mx,
                              loc, scale, num.astype(jnp.float32), avg_hfr])
         stars = jnp.stack([x, y, value, mass, hfr])
@@ -64,10 +66,13 @@ def preprocess_batch(frames, bp_sigma_low: float = 3.0, bp_sigma_high: float = 5
     Returns (repaired (N,H,W) device array, list of per-frame dicts with
     n_bad/min/mean/max/location/scale, list of StarList, list of avg HFR).
     """
+    from nightlight_tpu.ops.gather_pallas import pallas_gather_available
+
     repaired, scalars, stars = _preprocess_batch_device(
         jnp.asarray(frames), jnp.float32(bp_sigma_low), jnp.float32(bp_sigma_high),
         jnp.float32(star_sig), jnp.float32(star_bp_sig), jnp.float32(star_in_out),
-        int(radius), int(max_candidates))
+        int(radius), int(max_candidates),
+        use_pallas_gather=pallas_gather_available())
     scalars_np = np.asarray(scalars)   # (N, 9) -- one transfer
     stars_np = np.asarray(stars)       # (N, 5, K) -- one transfer
 
@@ -102,12 +107,14 @@ def match_histograms_batch(frames, locs, scales, ref_loc, ref_scale):
 # Fused batch executor for the CLI `stack` preprocess chain
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("radius", "max_candidates", "has_dark", "has_flat"))
+@partial(jax.jit, static_argnames=("radius", "max_candidates", "has_dark",
+                                   "has_flat", "use_pallas_gather"))
 def _fused_stack_preprocess_device(frames, dark, flat, flat_max,
                                    bp_sigma_low, bp_sigma_high,
                                    star_sig, star_bp_sig, star_in_out,
                                    radius: int, max_candidates: int,
-                                   has_dark: bool, has_flat: bool):
+                                   has_dark: bool, has_flat: bool,
+                                   use_pallas_gather: bool = False):
     """calibrate + badPixel + stats + starDetect for the whole batch as ONE
     device program (the per-frame semantics of OpCalibrate/OpBadPixel/
     OpStarDetect, pipeline/ops_pre.py, vmapped over the frame axis)."""
@@ -127,7 +134,8 @@ def _fused_stack_preprocess_device(frames, dark, flat, flat_max,
             flat_img, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
         x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
             repaired, loc, scale, star_sig, star_bp_sig, star_in_out,
-            radius, diff_std, max_candidates)
+            radius, diff_std, max_candidates,
+            use_pallas_gather=use_pallas_gather)
         scalars = jnp.stack([n_bad.astype(jnp.float32), diff_std, mn, me, mx,
                              loc, scale, num.astype(jnp.float32), avg_hfr])
         stars = jnp.stack([x, y, value, mass, hfr])
@@ -162,6 +170,7 @@ def run_fused_preprocess(images, c, spec) -> list:
     import numpy as np
 
     from nightlight_tpu.detect.stars import StarList
+    from nightlight_tpu.ops.gather_pallas import pallas_gather_available
     from nightlight_tpu.ops.stats import Stats
 
     # -- masters (reuses OpCalibrate's loading incl. its log lines) --------
@@ -201,7 +210,8 @@ def run_fused_preprocess(images, c, spec) -> list:
         jnp.float32(spec.star_sig), jnp.float32(spec.star_bp_sig),
         jnp.float32(spec.star_in_out),
         int(spec.star_radius), int(MAX_CANDIDATES),
-        dark is not None, flat is not None)
+        dark is not None, flat is not None,
+        use_pallas_gather=pallas_gather_available())
 
     # the ONE batch sync: every per-frame scalar and star list together
     packed = jnp.concatenate(

@@ -21,6 +21,50 @@ def synth_field(rng, h=256, w=256, stars=None, bg=100.0, noise=2.0, fwhm=3.0, fl
     return img
 
 
+class TestPallasPatchGather:
+    """The DMA patch-gather kernel vs the XLA gather (interpret mode on CPU;
+    the compiled Mosaic path is covered by tests_tpu/test_mosaic.py)."""
+
+    def test_matches_xla_gather(self, rng):
+        import nightlight_tpu.ops.gather_pallas as gp
+        from nightlight_tpu.detect.stars import _patches
+
+        old = gp.INTERPRET
+        gp.INTERPRET = True
+        try:
+            img = jnp.asarray(rng.normal(100, 5, size=(200, 300)).astype(np.float32))
+            # includes centers near all four edges (clamped windows + masks)
+            cy = jnp.asarray(np.r_[rng.integers(0, 200, 60), [0, 1, 198, 199]], np.int32)
+            cx = jnp.asarray(np.r_[rng.integers(0, 300, 60), [0, 299, 1, 298]], np.int32)
+            p1, ok1 = gp.gather_patches_pallas(img, cy, cx, 16)
+            p2, ok2 = _patches(img, cy, cx, 16)
+            ok = np.asarray(ok1)
+            assert (ok == np.asarray(ok2)).all()
+            np.testing.assert_allclose(np.asarray(p1)[ok], np.asarray(p2)[ok])
+        finally:
+            gp.INTERPRET = old
+
+    def test_detector_identical_with_kernel(self, rng):
+        import nightlight_tpu.ops.gather_pallas as gp
+        from nightlight_tpu.detect.stars import _find_stars_device
+
+        old = gp.INTERPRET
+        gp.INTERPRET = True
+        try:
+            pos = [(40.0, 50.0), (120.0, 80.0), (200.0, 200.0), (60.0, 180.0)]
+            img = jnp.asarray(synth_field(rng, stars=pos, flux=8000.0, fwhm=8.0))
+            args = (jnp.float32(100.0), jnp.float32(2.0), jnp.float32(10.0),
+                    jnp.float32(0.0), jnp.float32(1.4), 16, jnp.float32(1.0), 128)
+            a = _find_stars_device(img, *args, use_pallas_gather=True)
+            b = _find_stars_device(img, *args, use_pallas_gather=False)
+            assert int(a[5]) == int(b[5]) == len(pos)
+            for i in range(5):
+                np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b[i]),
+                                           rtol=1e-6, atol=1e-5)
+        finally:
+            gp.INTERPRET = old
+
+
 class TestDetection:
     def test_finds_all_stars(self, rng):
         pos = [(40.0, 50.0), (120.0, 80.0), (200.0, 200.0), (60.0, 180.0)]

@@ -111,6 +111,26 @@ class TestMosaicVsXLA:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestPatchGatherOnChip:
+    def test_dma_gather_matches_xla(self, tpu_cache):
+        """The Mosaic DMA patch-gather vs the XLA gather path on the chip
+        (incl. the clamped-window + roll addressing for edge candidates)."""
+        import jax.numpy as jnp
+        import nightlight_tpu.ops.gather_pallas as gp
+        from nightlight_tpu.detect.stars import _patches
+
+        assert not gp.INTERPRET and gp.pallas_gather_available()
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.normal(1000, 10, size=(1024, 1536)).astype(np.float32))
+        cy = jnp.asarray(np.r_[rng.integers(0, 1024, 500), [0, 2, 1022, 1023]], np.int32)
+        cx = jnp.asarray(np.r_[rng.integers(0, 1536, 500), [0, 1535, 3, 1533]], np.int32)
+        p1, ok1 = gp.gather_patches_pallas(img, cy, cx, 16)
+        p2, ok2 = _patches(img, cy, cx, 16)
+        ok = np.asarray(ok1)
+        assert (ok == np.asarray(ok2)).all()
+        np.testing.assert_allclose(np.asarray(p1)[ok], np.asarray(p2)[ok])
+
+
 class TestEndToEndOnChip:
     def test_small_cli_stack(self, tpu_cache, tmp_path, rng, capsys):
         """One real CLI stack on the chip: decode, calibrate, detect, align,
