@@ -64,17 +64,77 @@ def _search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
     return out.reshape(frames.shape[1:]), hist, clips, n_iter
 
 
+@partial(jax.jit, static_argnames=("mode", "max_iter", "target_l", "target_h"))
+def _newton_search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
+                          mode: int, max_iter: int):
+    """Newton goal-seek for linear-fit stacking, as ONE device program.
+
+    The dual binary search assumes each sigma bound only moves its own clip
+    count; linear fit re-fits the line after every clip, so changing one
+    bound shifts the other side's counts and the brackets never settle. The
+    reference's (dead-code) newtonMethodAndStack estimates d(clip%)/d(sigma)
+    with an epsilon probe per side and jointly updates both
+    (stackfindsigma.go:101-169; its high side compares against the LOW
+    target -- a dead-code slip we correct by using the high target).
+    Three stack evaluations per round, all Pallas kernels on TPU.
+    """
+    total = frames.size
+    p = frames[0].size
+    eps = jnp.float32(0.005)
+
+    def clips_at(sig_lo, sig_hi):
+        out, cl, ch = stk.stack(frames, stk.StackMode(mode), weights=weights,
+                                sigma_low=sig_lo, sigma_high=sig_hi,
+                                ref_frame_loc=ref_frame_loc)
+        return out, cl.astype(jnp.float32), ch.astype(jnp.float32)
+
+    def body(state):
+        sl, sh, _out, hist, clips, i, _running = state
+        out, cl, ch = clips_at(sl, sh)
+        perc_l = cl * 100.0 / total
+        perc_h = ch * 100.0 / total
+        delta_l = perc_l - target_l / 100.0
+        delta_h = perc_h - target_h / 100.0
+        d_li = jnp.floor(100.0 * delta_l + 0.5).astype(jnp.int32)
+        d_hi = jnp.floor(100.0 * delta_h + 0.5).astype(jnp.int32)
+        hist = hist.at[i].set(jnp.stack([sl, sh]))
+        clips = clips.at[i].set(jnp.stack([cl.astype(jnp.int32), ch.astype(jnp.int32)]))
+        converged = (d_li == 0) & (d_hi == 0)
+        # epsilon probes (evaluated unconditionally; XLA runs the loop body
+        # as one fused program either way, and the kernels are milliseconds)
+        _, cl2, _ = clips_at(sl + eps, sh)
+        _, _, ch3 = clips_at(sl, sh + eps)
+        d_l_diff = (cl2 - cl) * 100.0 / total / eps
+        d_h_diff = (ch3 - ch) * 100.0 / total / eps
+        stuck = (d_l_diff == 0.0) | (d_h_diff == 0.0)
+        new_sl = jnp.clip(sl - delta_l / jnp.where(d_l_diff == 0.0, 1.0, d_l_diff), 0.1, 20.0)
+        new_sh = jnp.clip(sh - delta_h / jnp.where(d_h_diff == 0.0, 1.0, d_h_diff), 0.1, 20.0)
+        running = jnp.logical_not(converged | stuck) & (i < max_iter)
+        return (jnp.where(running, new_sl, sl), jnp.where(running, new_sh, sh),
+                out.reshape(-1)[:p], hist, clips, i + 1, running)
+
+    hist0 = jnp.full((max_iter + 1, 2), jnp.nan, jnp.float32)
+    clips0 = jnp.zeros((max_iter + 1, 2), jnp.int32)
+    out0 = jnp.zeros((p,), jnp.float32)
+    state = (jnp.float32(6.0), jnp.float32(6.0), out0, hist0, clips0, 0, jnp.bool_(True))
+    _, _, out, hist, clips, n_iter, _ = jax.lax.while_loop(
+        lambda s: s[-1], body, state)
+    return out.reshape(frames.shape[1:]), hist, clips, n_iter
+
+
 def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
                           ref_frame_loc: float = 0.0,
                           clip_perc_low: float = 0.5, clip_perc_high: float = 0.5,
                           max_iter: int = 20, log=None):
-    """Binary-search sigma_low/sigma_high until the realized clip percentages
+    """Goal-seek sigma_low/sigma_high until the realized clip percentages
     match the targets (to 0.01%), then return that stack.
 
     Returns (stacked, clip_lo, clip_hi, sigma_low, sigma_high).
-    Matches the intended semantics of binarySearchAndStack
-    (stackfindsigma.go:49-100); modes without sigmas fall through to a plain
-    stack.
+    Sigma/winsorized modes use the dual binary search of
+    binarySearchAndStack (stackfindsigma.go:49-100); linear fit uses the
+    Newton joint update (newtonMethodAndStack, stackfindsigma.go:101-169)
+    because its per-clip re-fit couples the two bounds and breaks the
+    brackets. Modes without sigmas fall through to a plain stack.
     """
     if mode == stk.StackMode.Auto:
         mode = stk.auto_select_mode(frames.shape[0])
@@ -84,11 +144,32 @@ def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
 
     import numpy as np
 
+    search = (_newton_search_device if mode == stk.StackMode.LinearFit
+              else _search_device)
     total = frames.size
-    out, hist, clips, n_iter = _search_device(
+    out, hist, clips, n_iter = search(
         frames, weights, jnp.float32(ref_frame_loc),
         int(100 * clip_perc_low), int(100 * clip_perc_high),
         int(mode), max_iter)
+    if mode == stk.StackMode.LinearFit:
+        # Newton aborts wherever the epsilon probe moves zero samples (flat
+        # derivative -- e.g. no clipping at all at the 6.0 start point, the
+        # reference's give-up rule). The dual binary search still makes
+        # progress there by walking the bracket, so fall back when Newton
+        # exits off-target. (Improvement over the reference's dead code,
+        # which just returns the last approximation.)
+        clips_host = np.asarray(clips)
+        n_it = int(n_iter)
+        cl0, ch0 = int(clips_host[n_it - 1, 0]), int(clips_host[n_it - 1, 1])
+        d_l = int(100.0 * cl0 * 100.0 / total + 0.5) - int(100 * clip_perc_low)
+        d_h = int(100.0 * ch0 * 100.0 / total + 0.5) - int(100 * clip_perc_high)
+        if d_l != 0 or d_h != 0:
+            if log:
+                log.write("Newton method off target, retrying with binary search\n")
+            out, hist, clips, n_iter = _search_device(
+                frames, weights, jnp.float32(ref_frame_loc),
+                int(100 * clip_perc_low), int(100 * clip_perc_high),
+                int(mode), max_iter)
     # two device fetches for the whole search: the float sigma history and
     # the int32 clip counts (NOT bitcast through float32 -- counts < 2^23
     # land on denormals, which the TPU flushes to zero in transit)
@@ -109,6 +190,8 @@ def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
             log.write(f"Reached {clip_perc_low:.2f}% and {clip_perc_high:.2f}% clipping. "
                       f"Settings are -stSigLow {lo_mid:.3f} -stSigHigh {hi_mid:.3f}\n")
         else:
-            log.write(f"Warning: Binary search did not converge, proceeding with "
+            method = ("Newton method" if mode == stk.StackMode.LinearFit
+                      else "Binary search")
+            log.write(f"Warning: {method} did not converge, proceeding with "
                       f"last approximation {lo_mid:.2f} and {hi_mid:.2f}\n")
     return out, cl, ch, lo_mid, hi_mid

@@ -20,6 +20,49 @@ class TestFindSigma:
         assert float(ch) * 100.0 / total == pytest.approx(0.5, abs=0.02)
         assert 1.0 <= sig_lo <= 11.0 and 1.0 <= sig_hi <= 11.0
 
+    def test_linear_fit_uses_newton_and_converges(self, rng):
+        """Linear fit couples both sigma bounds (every clip re-fits the
+        line), so goal-seek routes to the Newton joint update
+        (newtonMethodAndStack, stackfindsigma.go:101-169)."""
+        import io
+
+        # the epsilon derivative probe needs enough samples that a 0.005
+        # sigma step moves the clip count (same granularity limit as the
+        # reference's float32 percentages at real image sizes)
+        n, p = 25, 60000
+        f = rng.normal(1000.0, 10.0, size=(n, p)).astype(np.float32)
+        f += rng.normal(0, 0.2, size=(n, 1)).astype(np.float32).cumsum(0)  # drift
+        log = io.StringIO()
+        out, cl, ch, sig_lo, sig_hi = find_sigmas_and_stack(
+            jnp.asarray(f), stk.StackMode.LinearFit,
+            clip_perc_low=0.5, clip_perc_high=0.5, log=log)
+        total = n * p
+        assert float(cl) * 100.0 / total == pytest.approx(0.5, abs=0.05)
+        assert float(ch) * 100.0 / total == pytest.approx(0.5, abs=0.05)
+        assert 0.1 <= sig_lo <= 20.0 and 0.1 <= sig_hi <= 20.0
+        assert "Reached 0.50% and 0.50% clipping" in log.getvalue()
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_linear_fit_newton_flat_start_falls_back(self, rng):
+        """With no clipping at the 6.0/6.0 start the Newton derivative probe
+        is flat; the search must fall back to the bracket walk and still hit
+        the targets instead of returning the reference dead-code's 'last
+        approximation'."""
+        import io
+
+        n, p = 25, 60000
+        f = rng.normal(1000.0, 2.0, size=(n, p)).astype(np.float32)  # clean
+        log = io.StringIO()
+        out, cl, ch, sig_lo, sig_hi = find_sigmas_and_stack(
+            jnp.asarray(f), stk.StackMode.LinearFit,
+            clip_perc_low=0.5, clip_perc_high=0.5, log=log)
+        total = n * p
+        if "retrying with binary search" in log.getvalue():
+            assert float(cl) * 100.0 / total == pytest.approx(0.5, abs=0.05)
+            assert float(ch) * 100.0 / total == pytest.approx(0.5, abs=0.05)
+        else:  # Newton converged directly; equally fine
+            assert "Reached 0.50% and 0.50% clipping" in log.getvalue()
+
     def test_non_sigma_mode_falls_through(self, rng):
         f = rng.normal(10.0, 1.0, size=(4, 100)).astype(np.float32)
         out, cl, ch, sig_lo, sig_hi = find_sigmas_and_stack(jnp.asarray(f), stk.StackMode.Mean)
