@@ -22,14 +22,11 @@ import time
 
 
 def _enable_cache() -> None:
-    import jax
+    # one policy for cache dir + the TPU-only guard (XLA:CPU AOT cache
+    # entries are not portable across hosts)
+    from nightlight_tpu.cli import _enable_compilation_cache
 
-    if jax.default_backend() == "cpu":
-        return  # XLA:CPU AOT cache entries are not portable across hosts
-    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "nightlight_tpu", "jax")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enable_compilation_cache()
 
 
 def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 2) -> None:

@@ -33,7 +33,6 @@ not once per frame.
 from __future__ import annotations
 
 import itertools
-import math
 from functools import partial
 
 import jax
@@ -46,10 +45,10 @@ from nightlight_tpu.detect.stars import StarList
 # Minimum star separation as a fraction of image height (align.go:55).
 MIN_DISTANCE_FRACTION = 1.0 / 20.0
 # Squared pixel distance below which a projected star matches a reference
-# star (align.go:164).
+# star (align.go:164). The reference's early-abort residual (align.go:165)
+# has no analog here: the device program evaluates all k candidates in one
+# launch, which is cheaper than a data-dependent exit.
 DIST_SQ_LIMIT = 8.0 * 8.0
-# Early abort when a candidate residual is below this (align.go:165).
-EARLY_ABORT_RESIDUAL = 0.01
 
 
 def pick_brightest_distant(xs: np.ndarray, ys: np.ndarray, min_length: float, k: int) -> np.ndarray:
@@ -207,9 +206,17 @@ def _align_device(tri_sides, tri_pts, ref_sides, ref_tri_pts, pts, ref_pts,
         py = t0[3] * pts[:, 0] + t0[4] * pts[:, 1] + t0[5]
         d2 = ((px[:, None] - ref_pts[None, :, 0]) ** 2
               + (py[:, None] - ref_pts[None, :, 1]) ** 2)  # (S, S2)
+        # mask padding by the true counts, not by the 1e30 sentinel
+        # surviving arithmetic: under an exactly-identity candidate a padded
+        # frame star projects to exactly 1e30 and "matches" a padded
+        # reference star at d2=0, and its 1e30 coordinates overflow the LSQ
+        # sums to NaN, invalidating a perfect candidate
+        real_ref = jnp.arange(ref_pts.shape[0]) < n_ref
+        d2 = jnp.where(real_ref[None, :], d2, jnp.inf)
         ridx = jnp.argmin(d2, axis=1)
         rmin = jnp.min(d2, axis=1)
-        m = rmin < DIST_SQ_LIMIT  # padded stars project ~1e30 away
+        real_star = jnp.arange(pts.shape[0]).astype(jnp.float32) < n_stars
+        m = (rmin < DIST_SQ_LIMIT) & real_star
         cnt = jnp.sum(m)
         cntf = jnp.maximum(cnt, 1).astype(jnp.float32)
 
@@ -252,7 +259,10 @@ def _align_device(tri_sides, tri_pts, ref_sides, ref_tri_pts, pts, ref_pts,
 
         rx = a * pts[:, 0] + b * pts[:, 1] + c - q[:, 0]
         ry = d_ * pts[:, 0] + e * pts[:, 1] + f - q[:, 1]
-        residual = jnp.sqrt(jnp.sum(mf * (rx * rx + ry * ry))) / cntf
+        # select, not multiply-by-mask: padded rows square to inf and
+        # 0 * inf would poison the sum with NaN
+        rr = jnp.where(m, rx * rx + ry * ry, 0.0)
+        residual = jnp.sqrt(jnp.sum(rr)) / cntf
 
         valid = ((cnt.astype(jnp.float32) >= n_stars / 3.0)
                  & (distinct >= min_distinct)

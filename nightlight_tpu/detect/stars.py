@@ -379,7 +379,8 @@ def _as_device_scalar(v):
 
 def find_stars(img, location, scale, star_sig: float, bp_sig: float,
                star_in_out: float, radius: int, median_diff_std=None,
-               max_candidates: int = MAX_CANDIDATES, deferred: bool = False):
+               max_candidates: int = MAX_CANDIDATES, deferred: bool = False,
+               use_pallas_gather: bool | None = None):
     """Run star detection. Returns (StarList | LazyStarList, avg_hfr).
 
     `location`/`scale`/`median_diff_std` may be floats, device scalars, or
@@ -388,6 +389,9 @@ def find_stars(img, location, scale, star_sig: float, bp_sig: float,
     None and bp_sig > 0 it is computed here (findstars.go:139-150 estimates
     it from a 1% random sample; we use the full image). With deferred=True
     nothing is fetched: the result resolves lazily via the deferred pool.
+    use_pallas_gather: None = auto (DMA patch gather on TPU); pass False for
+    mesh-sharded inputs -- a pallas_call cannot address global rows of a
+    sharded operand.
     """
     if median_diff_std is None:
         if bp_sig > 0:
@@ -397,13 +401,16 @@ def find_stars(img, location, scale, star_sig: float, bp_sig: float,
         else:
             median_diff_std = 0.0
 
-    from nightlight_tpu.ops.gather_pallas import pallas_gather_available
+    if use_pallas_gather is None:
+        from nightlight_tpu.ops.gather_pallas import pallas_gather_available
+
+        use_pallas_gather = pallas_gather_available()
 
     x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
         img, _as_device_scalar(location), _as_device_scalar(scale),
         jnp.float32(star_sig), jnp.float32(bp_sig), jnp.float32(star_in_out),
         int(radius), _as_device_scalar(median_diff_std), max_candidates,
-        use_pallas_gather=pallas_gather_available(),
+        use_pallas_gather=bool(use_pallas_gather),
     )
     packed_dev = jnp.stack([x, y, value, mass, hfr])
 

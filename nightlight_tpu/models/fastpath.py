@@ -32,29 +32,20 @@ from nightlight_tpu.ops.prestack import bad_pixel_repair
 from nightlight_tpu.ops.stats import min_mean_max, sigma_clipped_median_qn
 
 
-@partial(jax.jit, static_argnames=("radius", "max_candidates", "use_pallas_gather"))
 def _preprocess_batch_device(frames, bp_sigma_low, bp_sigma_high,
                              star_sig, star_bp_sig, star_in_out,
                              radius: int, max_candidates: int,
                              use_pallas_gather: bool = False):
-    """One device program for the whole batch. frames: (N, H, W)."""
+    """One device program for the whole batch. frames: (N, H, W).
 
-    def per_frame(img):
-        repaired, n_bad, diff_std = bad_pixel_repair(img, bp_sigma_low, bp_sigma_high)
-        flat = repaired.reshape(-1)
-        mn, me, mx = min_mean_max(flat)
-        loc, scale = sigma_clipped_median_qn(
-            flat, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
-        x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
-            repaired, loc, scale, star_sig, star_bp_sig, star_in_out,
-            radius, diff_std, max_candidates,
-            use_pallas_gather=use_pallas_gather)
-        scalars = jnp.stack([n_bad.astype(jnp.float32), diff_std, mn, me, mx,
-                             loc, scale, num.astype(jnp.float32), avg_hfr])
-        stars = jnp.stack([x, y, value, mass, hfr])
-        return repaired, scalars, stars
-
-    return jax.vmap(per_frame)(frames)
+    The no-calibration slice of _fused_stack_preprocess_device (one program,
+    one compiled body -- keeping the test reference path and the production
+    executor from drifting apart)."""
+    return _fused_stack_preprocess_device(
+        frames, jnp.zeros((1, 1), jnp.float32), jnp.ones((1, 1), jnp.float32),
+        jnp.float32(1.0), bp_sigma_low, bp_sigma_high,
+        star_sig, star_bp_sig, star_in_out,
+        radius, max_candidates, False, False, use_pallas_gather)
 
 
 def preprocess_batch(frames, bp_sigma_low: float = 3.0, bp_sigma_high: float = 5.0,

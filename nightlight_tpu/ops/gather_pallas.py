@@ -46,9 +46,14 @@ def gather_patches_pallas(img: jax.Array, cys: jax.Array, cxs: jax.Array,
     """
     h, w = img.shape
     size = 2 * radius + 1
-    rows = _round_up(size, 8)
+    # the window must hold the patch at ANY sub-tile offset: row offsets
+    # reach 7 and column offsets 127 past the aligned start, so each axis
+    # carries one full extra tile of margin (rows = round_up(size, 8) alone
+    # leaves < 8 spare rows whenever size % 8 > 0 and wraps the bottom
+    # patch rows for odd radii)
+    rows = _round_up(size, 8) + 8
     lanes = _round_up(size, 128)
-    cols = lanes + 128  # window must cover a 128-aligned start + the patch
+    cols = lanes + 128
 
     # pad to the (8, 128) tile grid (identity for aligned shapes like 4096^2)
     h8, w128 = _round_up(max(h, rows), 8), _round_up(max(w, cols), 128)

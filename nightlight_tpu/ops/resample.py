@@ -164,26 +164,3 @@ def project(img: jax.Array, dest_naxisn, trans: np.ndarray, out_of_bounds: float
                            jnp.int32(kmin), jnp.int32(mmin),
                            dest_h, dest_w, n_k, n_m)
     return _warp(img, jnp.asarray(inv), float(out_of_bounds), dest_h, dest_w)
-
-
-@partial(jax.jit, static_argnames=("dest_h", "dest_w"))
-def _warp_forward(img: jax.Array, trans: jax.Array, out_of_bounds,
-                  dest_h: int, dest_w: int) -> jax.Array:
-    """Warp under a FORWARD transform that lives on device (e.g. a pending
-    alignment result): the closed-form inverse (coord.go:159-201) is
-    computed inside the program, so projection chains on the aligner output
-    with zero host synchronization."""
-    a, b, c, d, e, f = (trans[i] for i in range(6))
-    eps = b * d - a * e
-    eps2 = a * e - b * d
-    inv = jnp.stack([
-        -e / eps, b / eps, (c * e - b * f) / eps,
-        -d / eps2, a / eps2, (c * d - a * f) / eps2,
-    ])
-    return _warp(img, inv, jnp.float32(out_of_bounds), dest_h, dest_w)
-
-
-def project_deferred(img: jax.Array, dest_naxisn, trans, out_of_bounds) -> jax.Array:
-    """project() for a device-resident/pending forward transform."""
-    dest_w, dest_h = int(dest_naxisn[0]), int(dest_naxisn[1])
-    return _warp_forward(img, trans, out_of_bounds, dest_h, dest_w)

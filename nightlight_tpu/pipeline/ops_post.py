@@ -160,10 +160,25 @@ class OpAlign(UnaryOperator):
                 from nightlight_tpu.ops.resample import project
 
                 trans_host = np.asarray(resolve_maybe(trans), np.float32)
+                # apply the residual-threshold drop HERE like the reference
+                # (postprocess.go:177-180): downstream ops in arbitrary
+                # JSON/REST jobs (rgbCombine, stretch chains, ...) must never
+                # see a frame the reference would have dropped. Only the
+                # stack preset defers the decision, and its consumers
+                # (OpSave/OpStack) all run check_align_drop.
+                res = float(resolve_maybe(residual))
+                if res > self.threshold:
+                    c.logf("%d: Alignment residual %g is above threshold %g, "
+                           "skipping frame\n", f.id, res, self.threshold)
+                    return None
                 projected = project(f.data, aligner.naxisn, trans_host,
                                     float(resolve_maybe(oob)))
                 out = Image.from_naxisn(list(aligner.naxisn), projected,
                                         ls_mode=f.stats.mode if f.stats else None)
+                out.id, out.exposure = f.id, f.exposure
+                out.stars, out.hfr = f.stars, f.hfr
+                out.trans, out.residual = trans_host, res
+                return out
             out.id, out.exposure = f.id, f.exposure
             out.stars, out.hfr = f.stars, f.hfr
             out.trans, out.residual = trans, residual

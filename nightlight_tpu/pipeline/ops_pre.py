@@ -252,7 +252,9 @@ class OpStarDetect(UnaryOperator):
         f.stars, f.hfr = find_stars(
             data2d, loc_dev, scale_dev, self.sigma,
             self.bad_pixel_sigma, self.in_out_ratio, int(self.radius),
-            median_diff_std, deferred=True)
+            median_diff_std, deferred=True,
+            # mesh-sharded frames can't feed the DMA gather kernel
+            use_pallas_gather=False if c.mesh is not None else None)
         c.logf("%d: Stars %d HFR %.2f %s\n", f.id, f.stars.count_lazy, f.hfr, f.stats)
 
         save = self.save

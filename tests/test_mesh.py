@@ -288,6 +288,30 @@ class TestMeshContextPipeline:
         assert m.mean() > 0.9
         np.testing.assert_allclose(a[m], b[m], rtol=1e-4, atol=1e-3)
 
+    def test_star_detect_disables_pallas_gather_under_mesh(self, mesh, rng, tmp_path):
+        """A pallas_call cannot address global rows of a mesh-sharded
+        operand, so OpStarDetect must force the XLA gather when a mesh is
+        set -- regardless of what backend auto-detection says."""
+        from unittest import mock
+
+        from nightlight_tpu.pipeline import ops_pre
+        from nightlight_tpu.pipeline.context import new_context
+        from nightlight_tpu.pipeline.operators import OpLoad
+        from tests.test_pipeline_e2e import write_frames
+
+        names = write_frames(tmp_path, rng, n_frames=1)
+        c = new_context()
+        c.mesh = mesh
+        f = OpLoad(id=0, file_name=names[0]).apply(None, c)
+        import nightlight_tpu.detect.stars as stars_mod
+
+        with mock.patch.object(stars_mod, "find_stars",
+                               wraps=stars_mod.find_stars) as spy:
+            ops_pre.OpStarDetect(radius=16, sigma=10.0, bad_pixel_sigma=5.0,
+                                 in_out_ratio=1.4).apply(f, c)
+        assert spy.called
+        assert spy.call_args.kwargs.get("use_pallas_gather") is False
+
     def test_loaded_frame_is_row_sharded(self, mesh, rng, tmp_path):
         from nightlight_tpu.pipeline.context import new_context
         from nightlight_tpu.pipeline.operators import OpLoad

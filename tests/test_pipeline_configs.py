@@ -23,6 +23,60 @@ def mosaic_from_rgb(r, g, b):
     return cfa
 
 
+class TestJSONAlignDrop:
+    """JSON/REST jobs apply the residual-threshold drop AT the align op
+    (postprocess.go:177-180): a downstream consumer that never calls
+    check_align_drop (e.g. a custom chain) must not see the bad frame."""
+
+    def test_unalignable_frame_dropped_before_downstream_ops(self, tmp_path, rng):
+        import io
+        import os
+
+        from nightlight_tpu.pipeline import materialize_all, op_from_dict
+        from nightlight_tpu.pipeline.context import new_context
+        from tests.test_pipeline_e2e import write_frames
+
+        write_frames(tmp_path, rng, n_frames=3)
+        # frame with an unrelated star field: alignment residual explodes
+        bad = synth_field(rng, h=256, w=256,
+                          stars=[(31.0, 222.0), (130.0, 40.0), (201.0, 93.0),
+                                 (66.0, 141.0), (243.0, 210.0), (140.0, 190.0),
+                                 (88.0, 77.0), (180.0, 240.0), (40.0, 160.0),
+                                 (222.0, 30.0)],
+                          bg=100.0, noise=2.0, flux=8000.0, fwhm=8.0)
+        im = Image.from_naxisn([256, 256], jnp.asarray(bad))
+        im.exposure = 60.0
+        nlfits.write_file(im, str(tmp_path / "light99.fits"))
+
+        job = {"type": "seq", "steps": [
+            {"type": "loadMany", "filePatterns": ["light*.fits"]},
+            {"type": "starDetect", "radius": 16, "sigma": 10.0,
+             "badPixelSigma": 5.0, "inOutRatio": 1.4},
+            {"type": "selectRef", "target": 0, "mode": "0"},
+            # genuine frames align at residual ~0.008; an unrelated field
+            # chance-fits at best ~0.6, so 0.1 cleanly separates them
+            {"type": "align", "k": 20, "threshold": 0.1, "oobMode": 2},
+            {"type": "stack", "mode": 1},
+            {"type": "save", "filePattern": "dropped.fits"},
+        ]}
+        log = io.StringIO()
+        c = new_context(log=log)
+        op = op_from_dict(job)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            promises = op.make_promises([], c)
+            _, err = materialize_all(promises, c.max_threads, True)
+            if err is not None:
+                raise err
+            c.finalize()
+        finally:
+            os.chdir(cwd)
+        out = log.getvalue()
+        assert "skipping frame" in out
+        assert "Stacking 3 frames" in out  # 4 loaded, 1 dropped at align
+
+
 class TestOSCDebayerStack:
     """BASELINE config #3: debayer one-shot-color + align + stack."""
 

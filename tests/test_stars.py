@@ -33,14 +33,18 @@ class TestPallasPatchGather:
         gp.INTERPRET = True
         try:
             img = jnp.asarray(rng.normal(100, 5, size=(200, 300)).astype(np.float32))
-            # includes centers near all four edges (clamped windows + masks)
+            # includes centers near all four edges (clamped windows + masks);
+            # odd radii exercise non-tile-aligned patch sizes whose roll
+            # offsets need the extra window margin
             cy = jnp.asarray(np.r_[rng.integers(0, 200, 60), [0, 1, 198, 199]], np.int32)
             cx = jnp.asarray(np.r_[rng.integers(0, 300, 60), [0, 299, 1, 298]], np.int32)
-            p1, ok1 = gp.gather_patches_pallas(img, cy, cx, 16)
-            p2, ok2 = _patches(img, cy, cx, 16)
-            ok = np.asarray(ok1)
-            assert (ok == np.asarray(ok2)).all()
-            np.testing.assert_allclose(np.asarray(p1)[ok], np.asarray(p2)[ok])
+            for radius in (16, 15, 17, 8, 3):
+                p1, ok1 = gp.gather_patches_pallas(img, cy, cx, radius)
+                p2, ok2 = _patches(img, cy, cx, radius)
+                ok = np.asarray(ok1)
+                assert (ok == np.asarray(ok2)).all(), radius
+                np.testing.assert_allclose(np.asarray(p1)[ok], np.asarray(p2)[ok],
+                                           err_msg=f"radius {radius}")
         finally:
             gp.INTERPRET = old
 

@@ -124,11 +124,13 @@ class TestPatchGatherOnChip:
         img = jnp.asarray(rng.normal(1000, 10, size=(1024, 1536)).astype(np.float32))
         cy = jnp.asarray(np.r_[rng.integers(0, 1024, 500), [0, 2, 1022, 1023]], np.int32)
         cx = jnp.asarray(np.r_[rng.integers(0, 1536, 500), [0, 1535, 3, 1533]], np.int32)
-        p1, ok1 = gp.gather_patches_pallas(img, cy, cx, 16)
-        p2, ok2 = _patches(img, cy, cx, 16)
-        ok = np.asarray(ok1)
-        assert (ok == np.asarray(ok2)).all()
-        np.testing.assert_allclose(np.asarray(p1)[ok], np.asarray(p2)[ok])
+        for radius in (16, 15):  # odd radius: non-tile-aligned patch size
+            p1, ok1 = gp.gather_patches_pallas(img, cy, cx, radius)
+            p2, ok2 = _patches(img, cy, cx, radius)
+            ok = np.asarray(ok1)
+            assert (ok == np.asarray(ok2)).all(), radius
+            np.testing.assert_allclose(np.asarray(p1)[ok], np.asarray(p2)[ok],
+                                       err_msg=f"radius {radius}")
 
 
 class TestEndToEndOnChip:
