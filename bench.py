@@ -29,7 +29,7 @@ def _enable_cache() -> None:
     _enable_compilation_cache()
 
 
-def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 2) -> None:
+def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 3) -> None:
     """North-star metric: decode -> calibrate -> detect -> align-warp ->
     goal-seek sigma-clip stack -> save, end to end from FITS files on disk.
 

@@ -98,6 +98,15 @@ def match_histograms_batch(frames, locs, scales, ref_loc, ref_scale):
 # Fused batch executor for the CLI `stack` preprocess chain
 # ---------------------------------------------------------------------------
 
+# Frames per detection sub-chunk inside the fused program: detection's
+# working set is dominated by the (chunk, K, patch) candidate buffers
+# (~250MB/frame at K=2048), NOT by the frame pixels, so a full-batch vmap
+# would OOM HBM on large batches (observed: 21GB for one 250-frame batch of
+# 1MP subs). lax.map over chunks bounds it at ~chunk x 250MB while keeping
+# everything one device program.
+DETECT_CHUNK = 8
+
+
 @partial(jax.jit, static_argnames=("radius", "max_candidates", "has_dark",
                                    "has_flat", "use_pallas_gather"))
 def _fused_stack_preprocess_device(frames, dark, flat, flat_max,
@@ -108,10 +117,12 @@ def _fused_stack_preprocess_device(frames, dark, flat, flat_max,
                                    use_pallas_gather: bool = False):
     """calibrate + badPixel + stats + starDetect for the whole batch as ONE
     device program (the per-frame semantics of OpCalibrate/OpBadPixel/
-    OpStarDetect, pipeline/ops_pre.py, vmapped over the frame axis)."""
+    OpStarDetect, pipeline/ops_pre.py): light phases vmapped over the full
+    frame axis, detection lax.map'ed over DETECT_CHUNK-frame slices to bound
+    its candidate-buffer working set."""
     from nightlight_tpu.ops.prestack import flat_divide, subtract
 
-    def per_frame(img):
+    def calib_frame(img):
         if has_dark:
             img = subtract(img, dark)
         if has_flat:
@@ -123,16 +134,41 @@ def _fused_stack_preprocess_device(frames, dark, flat, flat_max,
         # (SCMedianQn, ops/stats.py)
         loc, scale = sigma_clipped_median_qn(
             flat_img, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
-        x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
-            repaired, loc, scale, star_sig, star_bp_sig, star_in_out,
-            radius, diff_std, max_candidates,
-            use_pallas_gather=use_pallas_gather)
-        scalars = jnp.stack([n_bad.astype(jnp.float32), diff_std, mn, me, mx,
-                             loc, scale, num.astype(jnp.float32), avg_hfr])
-        stars = jnp.stack([x, y, value, mass, hfr])
-        return repaired, scalars, stars
+        return repaired, n_bad, diff_std, mn, me, mx, loc, scale
 
-    return jax.vmap(per_frame)(frames)
+    repaired, n_bad, diff_std, mn, me, mx, loc, scale = jax.vmap(calib_frame)(frames)
+
+    def detect_frame(args):
+        img, f_loc, f_scale, f_diff = args
+        x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
+            img, f_loc, f_scale, star_sig, star_bp_sig, star_in_out,
+            radius, f_diff, max_candidates,
+            use_pallas_gather=use_pallas_gather)
+        return jnp.stack([x, y, value, mass, hfr]), num, avg_hfr
+
+    n = frames.shape[0]
+    chunk = min(DETECT_CHUNK, n)
+    pad = (-n) % chunk
+    padded = (jnp.concatenate([repaired, jnp.zeros((pad,) + repaired.shape[1:],
+                                                   repaired.dtype)])
+              if pad else repaired)
+
+    def pad_vec(v):
+        return jnp.concatenate([v, jnp.ones(pad, v.dtype)]) if pad else v
+
+    stars_c, num_c, hfr_c = jax.lax.map(
+        lambda a: jax.vmap(detect_frame)(a),
+        (padded.reshape(-1, chunk, *repaired.shape[1:]),
+         pad_vec(loc).reshape(-1, chunk),
+         pad_vec(scale).reshape(-1, chunk),
+         pad_vec(diff_std).reshape(-1, chunk)))
+    stars = stars_c.reshape(-1, *stars_c.shape[2:])[:n]
+    num = num_c.reshape(-1)[:n]
+    avg_hfr = hfr_c.reshape(-1)[:n]
+
+    scalars = jnp.stack([n_bad.astype(jnp.float32), diff_std, mn, me, mx,
+                         loc, scale, num.astype(jnp.float32), avg_hfr], axis=1)
+    return repaired, scalars, stars
 
 
 def fused_batch_eligible(images, c) -> bool:

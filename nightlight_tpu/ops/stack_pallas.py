@@ -45,6 +45,17 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _tile_for(n_pad: int) -> int:
+    """Lanes per grid step, scaled down for large frame counts: the kernel
+    keeps ~6 live (n_pad, tile) f32 copies (masked rows, sorted rows,
+    weights/ranks, prefix sums) in VMEM, and the scoped budget is 16MB --
+    a 256-frame batch at the full 2048-lane tile needs ~20MB and fails to
+    compile ("Ran out of memory in memory space vmem")."""
+    budget = 10 * (1 << 20)
+    t = budget // (n_pad * 4 * 8)  # 8 covers the weighted variants' extra rows
+    return min(TILE, max(128, t // 128 * 128))
+
+
 def _bitonic_rows(rows: list):
     """Sort a list of (TILE,)-shaped rows ascending with a static bitonic
     network. Returns the sorted list. O(n/2 * log^2 n) vector min/max ops."""
@@ -90,7 +101,7 @@ def _bitonic_rows_kv(keys: list, vals: list):
     return keys, vals
 
 
-def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
+def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, tile: int):
     def kernel(*refs):
         if weighted:
             frames_ref, w_ref, params_ref, out_ref, clip_ref = refs
@@ -110,27 +121,27 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
                 rows.append(jnp.where(ok, r, _BIG))
                 valid_rows.append(ok)
             else:
-                rows.append(jnp.full((TILE,), _BIG, jnp.float32))
+                rows.append(jnp.full((tile,), _BIG, jnp.float32))
         cnt0 = valid_rows[0].astype(jnp.int32)
         for vr in valid_rows[1:]:
             cnt0 = cnt0 + vr.astype(jnp.int32)
-        cnt0 = cnt0[None, :]  # (1, TILE): Mosaic loop carries must be 2D
+        cnt0 = cnt0[None, :]  # (1, tile): Mosaic loop carries must be 2D
 
         if weighted:
             wrows = []
             for i in range(n_pad):
                 if i < n_frames:
-                    wrows.append(jnp.where(valid_rows[i], w_ref[i, 0] * jnp.ones((TILE,), jnp.float32), 0.0))
+                    wrows.append(jnp.where(valid_rows[i], w_ref[i, 0] * jnp.ones((tile,), jnp.float32), 0.0))
                 else:
-                    wrows.append(jnp.zeros((TILE,), jnp.float32))
+                    wrows.append(jnp.zeros((tile,), jnp.float32))
             srows_l, swrows_l = _bitonic_rows_kv(rows, wrows)
-            svals = jnp.stack(srows_l)          # (n_pad, TILE)
+            svals = jnp.stack(srows_l)          # (n_pad, tile)
             sweights = jnp.stack(swrows_l)
         else:
             svals = jnp.stack(_bitonic_rows(rows))
             sweights = None
 
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TILE), 0)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tile), 0)
 
         # Center by the per-pixel median (robust to outliers) so the float32
         # sums of squares in the clip loop don't cancel catastrophically.
@@ -203,7 +214,7 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
                 return jnp.logical_and(jnp.logical_not(jnp.all(done_i > 0)), it < 32)
 
             std, _, _ = jax.lax.while_loop(
-                wcond, wbody, (std0, jnp.zeros((1, TILE), jnp.int32), 0))
+                wcond, wbody, (std0, jnp.zeros((1, tile), jnp.int32), 0))
             return std
 
         def body(state):
@@ -251,11 +262,11 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool):
             _, _, running_i, _, _, _, it = state
             return jnp.logical_and(jnp.any(running_i > 0), it < n_frames + 1)
 
-        lo0 = jnp.zeros((1, TILE), jnp.int32)
+        lo0 = jnp.zeros((1, tile), jnp.int32)
         hi0 = cnt0
         running0 = (cnt0 > 0).astype(jnp.int32)
-        result0 = jnp.zeros((1, TILE), jnp.float32)
-        zeros_i = jnp.zeros((1, TILE), jnp.int32)
+        result0 = jnp.zeros((1, tile), jnp.float32)
+        zeros_i = jnp.zeros((1, tile), jnp.int32)
         state = (lo0, hi0, running0, result0, zeros_i, zeros_i, 0)
         _, _, _, result, clo, chi, _ = jax.lax.while_loop(cond, body, state)
 
@@ -273,13 +284,14 @@ def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
                        winsorize: bool):
     n, p = frames2d.shape
     n_pad = max(_next_pow2(n), 8)
+    tile = _tile_for(n_pad)
     if n_pad > n:
         frames2d = jnp.pad(frames2d, ((0, n_pad - n), (0, 0)), constant_values=jnp.nan)
-    n_tiles = p // TILE
+    n_tiles = p // tile
 
     weighted = weights is not None
     in_specs = [
-        pl.BlockSpec((n_pad, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_pad, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
     ]
     inputs = [frames2d]
     if weighted:
@@ -290,12 +302,12 @@ def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
     inputs.append(params)
 
     out, clips = pl.pallas_call(
-        _make_kernel(n_pad, n, winsorize, weighted),
+        _make_kernel(n_pad, n, winsorize, weighted, tile),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, p), jnp.float32),
@@ -306,7 +318,7 @@ def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
     return out[0], jnp.sum(clips[0]), jnp.sum(clips[1])
 
 
-def _make_single_pass_kernel(n_pad: int, n_frames: int, mad: bool):
+def _make_single_pass_kernel(n_pad: int, n_frames: int, mad: bool, tile: int):
     """Median (stack.go:274-303) and single-pass MAD-sigma clipped mean
     (stack.go:536-605) kernels: no clip iteration, so the body is one or two
     bitonic sorts plus masked selections -- semantics of
@@ -326,14 +338,14 @@ def _make_single_pass_kernel(n_pad: int, n_frames: int, mad: bool):
                 rows.append(jnp.where(ok, r, _BIG))
                 valid_rows.append(ok)
             else:
-                rows.append(jnp.full((TILE,), _BIG, jnp.float32))
+                rows.append(jnp.full((tile,), _BIG, jnp.float32))
         cnt0 = valid_rows[0].astype(jnp.int32)
         for vr in valid_rows[1:]:
             cnt0 = cnt0 + vr.astype(jnp.int32)
         cnt0 = cnt0[None, :]
 
         svals = jnp.stack(_bitonic_rows(rows))
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TILE), 0)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tile), 0)
         in_cnt = row_idx < cnt0
 
         def median_of(sorted_vals):
@@ -350,8 +362,8 @@ def _make_single_pass_kernel(n_pad: int, n_frames: int, mad: bool):
 
         if not mad:
             out_ref[0, :] = jnp.where(cnt0 > 0, median, ref_loc)[0, :]
-            clip_ref[0, :] = jnp.zeros((TILE,), jnp.int32)
-            clip_ref[1, :] = jnp.zeros((TILE,), jnp.int32)
+            clip_ref[0, :] = jnp.zeros((tile,), jnp.int32)
+            clip_ref[1, :] = jnp.zeros((tile,), jnp.int32)
             return
 
         dev_rows = [jnp.where(in_cnt[i, :], jnp.abs(svals[i, :] - median[0, :]), _BIG)
@@ -380,19 +392,20 @@ def _make_single_pass_kernel(n_pad: int, n_frames: int, mad: bool):
 def _stack_single_pass_pallas(frames2d: jax.Array, params: jax.Array, mad: bool):
     n, p = frames2d.shape
     n_pad = max(_next_pow2(n), 8)
+    tile = _tile_for(n_pad)
     if n_pad > n:
         frames2d = jnp.pad(frames2d, ((0, n_pad - n), (0, 0)), constant_values=jnp.nan)
-    n_tiles = p // TILE
+    n_tiles = p // tile
     out, clips = pl.pallas_call(
-        _make_single_pass_kernel(n_pad, n, mad),
+        _make_single_pass_kernel(n_pad, n, mad, tile),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((n_pad, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, p), jnp.float32),
@@ -411,7 +424,8 @@ def stack_single_pass_pallas(frames: jax.Array, ref_frame_loc: float,
     shape = frames.shape[1:]
     flat = frames.reshape(frames.shape[0], -1)
     p = flat.shape[1]
-    p_pad = ((p + TILE - 1) // TILE) * TILE
+    tile = _tile_for(max(_next_pow2(frames.shape[0]), 8))
+    p_pad = ((p + tile - 1) // tile) * tile
     if p_pad > p:
         flat = jnp.pad(flat, ((0, 0), (0, p_pad - p)), constant_values=jnp.nan)
     params = jnp.asarray([sigma_low, sigma_high, ref_frame_loc], jnp.float32)
@@ -419,7 +433,7 @@ def stack_single_pass_pallas(frames: jax.Array, ref_frame_loc: float,
     return out[:p].reshape(shape), clo, chi
 
 
-def _make_linfit_kernel(n_pad: int, n_frames: int):
+def _make_linfit_kernel(n_pad: int, n_frames: int, tile: int):
     """Linear-fit clipping kernel (semantics of ops.stack.stack_linear_fit,
     mirroring stack.go:832-918). Unlike sigma clipping, rejections can occur
     anywhere in the sorted order, so the active set is a per-row mask rather
@@ -441,14 +455,14 @@ def _make_linfit_kernel(n_pad: int, n_frames: int):
                 rows.append(jnp.where(ok, r, _BIG))
                 valid_rows.append(ok)
             else:
-                rows.append(jnp.full((TILE,), _BIG, jnp.float32))
+                rows.append(jnp.full((tile,), _BIG, jnp.float32))
         cnt0 = valid_rows[0].astype(jnp.int32)
         for vr in valid_rows[1:]:
             cnt0 = cnt0 + vr.astype(jnp.int32)
         cnt0 = cnt0[None, :]
 
-        svals = jnp.stack(_bitonic_rows(rows))        # (n_pad, TILE)
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TILE), 0)
+        svals = jnp.stack(_bitonic_rows(rows))        # (n_pad, tile)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tile), 0)
         ys = jnp.where(svals >= _BIG, 0.0, svals)     # padded entries -> 0
         active0 = (row_idx < cnt0).astype(jnp.float32)
 
@@ -462,11 +476,11 @@ def _make_linfit_kernel(n_pad: int, n_frames: int):
             # (Hillis-Steele scan: log2(n_pad) shifted adds along the
             # sublane axis instead of an n_pad-long sequential chain)
             xs = jnp.concatenate(
-                [jnp.zeros((1, TILE), jnp.float32), active[:-1]], axis=0)
+                [jnp.zeros((1, tile), jnp.float32), active[:-1]], axis=0)
             d = 1
             while d < n_pad:
                 xs = xs + jnp.concatenate(
-                    [jnp.zeros((d, TILE), jnp.float32), xs[:-d]], axis=0)
+                    [jnp.zeros((d, tile), jnp.float32), xs[:-d]], axis=0)
                 d *= 2
 
             xmean = jnp.sum(active * xs, axis=0, keepdims=True) / c
@@ -509,8 +523,8 @@ def _make_linfit_kernel(n_pad: int, n_frames: int):
             _, running_i, _, _, _, it = state
             return jnp.logical_and(jnp.any(running_i > 0), it < n_frames + 1)
 
-        result0 = jnp.full((1, TILE), 1.0, jnp.float32) * ref_loc
-        zeros_f = jnp.zeros((1, TILE), jnp.float32)
+        result0 = jnp.full((1, tile), 1.0, jnp.float32) * ref_loc
+        zeros_f = jnp.zeros((1, tile), jnp.float32)
         state = (active0, (cnt0 > 0).astype(jnp.int32), result0, zeros_f, zeros_f, 0)
         _, _, result, clo, chi, _ = jax.lax.while_loop(cond, body, state)
 
@@ -525,20 +539,21 @@ def _make_linfit_kernel(n_pad: int, n_frames: int):
 def _stack_linfit_pallas(frames2d: jax.Array, params: jax.Array):
     n, p = frames2d.shape
     n_pad = max(_next_pow2(n), 8)
+    tile = _tile_for(n_pad)
     if n_pad > n:
         frames2d = jnp.pad(frames2d, ((0, n_pad - n), (0, 0)), constant_values=jnp.nan)
-    n_tiles = p // TILE
+    n_tiles = p // tile
 
     out, clips = pl.pallas_call(
-        _make_linfit_kernel(n_pad, n),
+        _make_linfit_kernel(n_pad, n, tile),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((n_pad, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, p), jnp.float32),
@@ -556,7 +571,8 @@ def stack_linfit_pallas(frames: jax.Array, ref_frame_loc: float,
     shape = frames.shape[1:]
     flat = frames.reshape(frames.shape[0], -1)
     p = flat.shape[1]
-    p_pad = ((p + TILE - 1) // TILE) * TILE
+    tile = _tile_for(max(_next_pow2(frames.shape[0]), 8))
+    p_pad = ((p + tile - 1) // tile) * tile
     if p_pad > p:
         flat = jnp.pad(flat, ((0, 0), (0, p_pad - p)), constant_values=jnp.nan)
     params = jnp.asarray([sigma_low, sigma_high, ref_frame_loc], jnp.float32)
@@ -575,7 +591,8 @@ def stack_sigma_pallas(frames: jax.Array, ref_frame_loc: float,
     shape = frames.shape[1:]
     flat = frames.reshape(frames.shape[0], -1)
     p = flat.shape[1]
-    p_pad = ((p + TILE - 1) // TILE) * TILE
+    tile = _tile_for(max(_next_pow2(frames.shape[0]), 8))
+    p_pad = ((p + tile - 1) // tile) * tile
     if p_pad > p:
         flat = jnp.pad(flat, ((0, 0), (0, p_pad - p)), constant_values=jnp.nan)
     params = jnp.asarray(

@@ -251,12 +251,26 @@ class OpStackBatches(Operator):
         c.logf("%d images of %dx%d pixels (%.1f MPixels), which each take %d MiB in-memory"
                " as floating point.\n", num_frames, width, height, pixels * 1e-6, mib)
 
-        # the fused executor transiently holds raw + repaired batch arrays
-        # (2x frames) before the per-frame buffers take over, so it gets
-        # half the device budget
-        device_tenths = 3 if self.fused_spec is not None else 6
-        budget_mb = min(c.stack_memory_mb, self._device_memory_mb() * device_tenths // 10)
-        available_frames = (budget_mb << 20) // nbytes
+        if self.fused_spec is not None:
+            # The fused executor's HBM peak is 2x the frame pixels (raw +
+            # repaired batches) PLUS detection's candidate working set,
+            # which is per-CHUNK, not per-frame (DETECT_CHUNK x K x patch
+            # buffers, ~2GB -- it dominated and OOMed a 250x1MP batch when
+            # budgeted per pixel). Host stacking memory budgets the frames
+            # alone, like the reference's -stMemory.
+            from nightlight_tpu.models.fastpath import DETECT_CHUNK
+            from nightlight_tpu.detect.stars import MAX_CANDIDATES
+
+            patch = 4 * (self.fused_spec.star_radius or 16) + 1
+            detect_ws_mb = (DETECT_CHUNK * MAX_CANDIDATES
+                            * ((patch + 15) // 8 * 8) * ((patch + 127) // 128 * 128)
+                            * 4 * 3) >> 20
+            dev_budget_mb = self._device_memory_mb() * 4 // 10
+            dev_frames = max(0, dev_budget_mb - detect_ws_mb) // max(1, 2 * mib)
+            available_frames = min((c.stack_memory_mb << 20) // nbytes, dev_frames)
+        else:
+            budget_mb = min(c.stack_memory_mb, self._device_memory_mb() * 6 // 10)
+            available_frames = (budget_mb << 20) // nbytes
         max_threads = c.max_threads
         c.logf("CPU has %d threads. Physical memory is %d MiB, -op.Memory is %d MiB,"
                " this fits %d frames.\n", max_threads, c.memory_mb, c.stack_memory_mb,

@@ -16,7 +16,12 @@ import sys
 import numpy as np
 
 
-def gen(outdir: str, n_frames: int = 24, size: int = 4096, seed: int = 7) -> list[str]:
+def gen(outdir: str, n_frames: int = 24, size: int = 4096, seed: int = 7,
+        dither: float | None = None) -> list[str]:
+    """dither: None = the default linear drift of (4, -3) px/frame (matches
+    the e2e expectations); a float = random bounded dither in [-dither,
+    +dither] px per frame, for long sequences where a linear drift would
+    walk the star field out of the frame."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from nightlight_tpu.image import FITS_BLOCK_SIZE
 
@@ -42,7 +47,10 @@ def gen(outdir: str, n_frames: int = 24, size: int = 4096, seed: int = 7) -> lis
     names = []
     for i in range(n_frames):
         img = dark + rng.normal(900.0, 20.0, size=(h, w)).astype(np.float32)
-        dx, dy = 4.0 * i, -3.0 * i
+        if dither is None:
+            dx, dy = 4.0 * i, -3.0 * i
+        else:
+            dx, dy = (0.0, 0.0) if i == 0 else tuple(rng.uniform(-dither, dither, 2))
         for j in range(n_stars):
             cx, cy = sx[j] + dx, sy[j] + dy
             icx, icy = int(round(cx)), int(round(cy))
