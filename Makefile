@@ -7,9 +7,14 @@ PY ?= python
 
 all: native tests
 
-# unit + integration tests on the virtual 8-device CPU mesh
+# unit + integration tests on the virtual 8-device CPU mesh, run as a few
+# shorter-lived chunks with one retry on an XLA:CPU runtime crash
+# (scripts/run_tests.py); `make test-one FILE=tests/test_x.py` for one file
 tests test:
-	$(PY) -m pytest tests/ -x -q
+	$(PY) scripts/run_tests.py
+
+test-one:
+	$(PY) -m pytest -x -q $(FILE)
 
 # headline benchmark on the available accelerator (one JSON line)
 bench:

@@ -50,7 +50,20 @@ class DeferredPool:
         return d
 
     def flush(self) -> None:
-        """Resolve every pending Deferred with ONE device fetch."""
+        """Resolve every pending Deferred with one batched fetch per shape.
+
+        Values are converted by VALUE (astype), never bitcast: int32
+        payloads bitcast to f32 become denormals that the TPU flushes to
+        zero in transit. f32 holds integers exactly up to 2^24, above any
+        count we defer.
+
+        Pending arrays are grouped by shape and stacked with the group count
+        padded to a power of two: a variable-arity concatenate would compile
+        a NEW tiny program for every distinct combination of pending shapes,
+        and each first-seen combination pays a full REMOTE compile on
+        tunneled TPU setups (observed: 200+ seconds for one flush). The
+        (shape, bucketed-count) stack programs form a small reusable set.
+        """
         with self._lock:
             pending = [d for d in self._pending if not d._resolved]
             self._pending.clear()
@@ -58,31 +71,31 @@ class DeferredPool:
                 return
             import jax.numpy as jnp
 
-            # One concatenated f32 transfer. Values are converted by VALUE
-            # (astype), never bitcast: int32 payloads bitcast to f32 become
-            # denormals that the TPU flushes to zero in transit. f32 holds
-            # integers exactly up to 2^24, above any count we defer.
-            parts = []
-            offsets = [0]
+            groups: dict[tuple, list] = {}
             for d in pending:
-                flat = jnp.ravel(d._array).astype(jnp.float32)
-                parts.append(flat)
-                offsets.append(offsets[-1] + flat.shape[0])
-            fetched = np.asarray(jnp.concatenate(parts)) if len(parts) > 1 \
-                else np.asarray(parts[0])
+                groups.setdefault(tuple(d._array.shape), []).append(d)
+
             self.flush_count += 1
             if _DEBUG:
                 import traceback
 
                 print(f"[deferred] flush #{self.flush_count}: "
-                      f"{len(pending)} values, {offsets[-1]} floats")
+                      f"{len(pending)} values in {len(groups)} shape groups")
                 traceback.print_stack(limit=8)
-            for d, lo, hi in zip(pending, offsets, offsets[1:]):
-                raw = fetched[lo:hi]
-                shape = d._array.shape
-                d._value = d._conv(raw[0]) if shape == () else d._conv(raw.reshape(shape))
-                d._resolved = True
-                d._array = None  # release the device reference
+
+            for shape, ds in groups.items():
+                k = len(ds)
+                kb = 1
+                while kb < k:
+                    kb *= 2
+                arrs = [jnp.asarray(d._array).astype(jnp.float32) for d in ds]
+                arrs.extend([arrs[0]] * (kb - k))  # pad the count bucket
+                fetched = np.asarray(jnp.stack(arrs))  # one transfer per group
+                for i, d in enumerate(ds):
+                    raw = fetched[i]
+                    d._value = d._conv(raw if shape else raw[()])
+                    d._resolved = True
+                    d._array = None  # release the device reference
 
 
 _pool = DeferredPool()
