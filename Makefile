@@ -36,7 +36,8 @@ native:
 
 # multi-chip dry run on an 8-device virtual CPU mesh
 dryrun:
-	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+	XLA_FLAGS="--xla_force_host_platform_device_count=8 --xla_cpu_collective_timeout_seconds=120 --xla_cpu_collective_call_warn_stuck_timeout_seconds=60 --xla_cpu_collective_call_terminate_timeout_seconds=120" \
 	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
 
 serve:

@@ -43,10 +43,18 @@ class DeferredPool:
 
         conv converts the fetched np scalar/array to the host value: float
         (default) for 0-d arrays, int for counts, or np.asarray for vectors.
+
+        NIGHTLIGHT_SYNC_FLUSH=1 resolves immediately instead of batching:
+        on few-core hosts running the 8-device VIRTUAL mesh, piles of
+        queued multi-device programs can starve a collective-rendezvous
+        participant past XLA:CPU's termination deadline; serializing keeps
+        at most one such program in flight (used by the multichip dryrun).
         """
         d = Deferred(self, array, conv)
         with self._lock:
             self._pending.append(d)
+        if os.environ.get("NIGHTLIGHT_SYNC_FLUSH", "") == "1":
+            self.flush()
         return d
 
     def flush(self) -> None:

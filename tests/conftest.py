@@ -15,7 +15,16 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests spawn
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 collective participant threads on a 1-core host: one can be starved
+    # past the default 40s rendezvous deadline, which LOG(FATAL)s the whole
+    # process ("Termination timeout for `all reduce` ... only 7 of them
+    # arrived"). Let starved participants wait instead of aborting.
+    flags += (" --xla_cpu_collective_timeout_seconds=120"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -241,6 +241,11 @@ class TestMeshContextPipeline:
         import io
         import os
 
+        # serialize device work: queued 8-way collective programs can starve
+        # an XLA:CPU rendezvous participant past its termination deadline on
+        # few-core hosts (same mitigation as the multichip dryrun)
+        os.environ["NIGHTLIGHT_SYNC_FLUSH"] = "1"
+
         from nightlight_tpu.pipeline import materialize_all, op_from_dict
         from nightlight_tpu.pipeline.context import new_context
 
@@ -270,6 +275,7 @@ class TestMeshContextPipeline:
             c.finalize()
         finally:
             os.chdir(cwd)
+            os.environ.pop("NIGHTLIGHT_SYNC_FLUSH", None)
         return log.getvalue()
 
     def test_full_job_sharded_matches_unsharded(self, mesh, rng, tmp_path):
