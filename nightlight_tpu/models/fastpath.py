@@ -107,9 +107,7 @@ def match_histograms_batch(frames, locs, scales, ref_loc, ref_scale):
 DETECT_CHUNK = 8
 
 
-@partial(jax.jit, static_argnames=("radius", "max_candidates", "has_dark",
-                                   "has_flat", "use_pallas_gather"))
-def _fused_stack_preprocess_device(frames, dark, flat, flat_max,
+def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
                                    bp_sigma_low, bp_sigma_high,
                                    star_sig, star_bp_sig, star_in_out,
                                    radius: int, max_candidates: int,
@@ -171,6 +169,20 @@ def _fused_stack_preprocess_device(frames, dark, flat, flat_max,
     return repaired, scalars, stars
 
 
+_FUSED_STATICS = ("radius", "max_candidates", "has_dark", "has_flat",
+                  "use_pallas_gather")
+# Test/reference entry: caller keeps ownership of `frames`.
+_fused_stack_preprocess_device = partial(
+    jax.jit, static_argnames=_FUSED_STATICS)(_fused_stack_preprocess_impl)
+# Production entry: donates the frame batch so XLA reuses its HBM for the
+# repaired output -- peak device memory for the fused preprocess is ~1x the
+# batch (plus the detection working set) instead of 2x. The caller must not
+# touch `frames` afterwards (run_fused_preprocess builds it inline).
+_fused_stack_preprocess_device_donated = partial(
+    jax.jit, static_argnames=_FUSED_STATICS,
+    donate_argnums=(0,))(_fused_stack_preprocess_impl)
+
+
 def fused_batch_eligible(images, c) -> bool:
     """The fused executor handles uniform mono 2D batches on the default
     estimator; anything else runs the general per-frame operator path."""
@@ -228,7 +240,13 @@ def run_fused_preprocess(images, c, spec) -> list:
 
     shape = images[0].data.shape
     batch = jnp.stack([f.data for f in images])
-    repaired, scalars, stars = _fused_stack_preprocess_device(
+    # Release the per-frame source buffers now that they are copied into the
+    # batch array: keeping them alive through the fused program would hold
+    # 3x the batch in HBM (originals + batch + repaired). Each f.data is
+    # re-pointed at repaired[i] below.
+    for f in images:
+        f.data = None
+    repaired, scalars, stars = _fused_stack_preprocess_device_donated(
         batch,
         dark.data.reshape(shape) if dark is not None else jnp.zeros((1, 1), jnp.float32),
         flat.data.reshape(shape) if flat is not None else jnp.ones((1, 1), jnp.float32),

@@ -8,6 +8,8 @@ pipelines without going through the CLI.
 
 from __future__ import annotations
 
+import os
+
 
 def build_preprocess_seq(args, op_star_detect, op_debayer):
     """The shared preprocessing sub-DAG (main.go:285-297)."""
@@ -34,6 +36,75 @@ def build_preprocess_seq(args, op_star_detect, op_debayer):
         OpExportStats(file_name=args.exportStats),
         OpSave(file_pattern=args.pre, export_mode=int(ExportMode.MinMax), gamma=1),
     ])
+
+
+def _fused_spec_from_seq(op_preproc, args):
+    """Derive fused-preprocess eligibility FROM the built OpSequence rather
+    than re-listing flag conditions: the fused executor replaces exactly the
+    calibrate+badPixel+starDetect[+exportStats] chain, so it is eligible iff
+    every other step in the sequence is a no-op under the current parameters
+    (each op's own is_noop predicate -- mirroring its apply() guard) and no
+    per-frame save pattern is set. A new preprocess op added to
+    build_preprocess_seq is automatically INELIGIBLE until it declares
+    is_noop, so the gate cannot silently drift from the DAG.
+
+    NIGHTLIGHT_NO_FUSED=1 forces the per-frame path for debugging."""
+    import os
+
+    from nightlight_tpu.pipeline import OpSave
+    from nightlight_tpu.pipeline.operators import Operator
+    from nightlight_tpu.pipeline.ops_pre import (
+        OpBadPixel, OpCalibrate, OpStarDetect)
+    from nightlight_tpu.pipeline.ops_ref import OpExportStats
+    from nightlight_tpu.pipeline.ops_stack import FusedPreprocessSpec
+
+    if os.environ.get("NIGHTLIGHT_NO_FUSED"):
+        return None
+
+    calibrate = bad_pixel = star_detect = None
+    for op in op_preproc.steps:
+        if isinstance(op, OpCalibrate) and calibrate is None:
+            calibrate = op
+            continue
+        if isinstance(op, OpBadPixel) and bad_pixel is None:
+            # the fused program has no CFA-aware repair path
+            if getattr(op.debayer, "channel", ""):
+                return None
+            bad_pixel = op
+            continue
+        if isinstance(op, OpStarDetect) and star_detect is None:
+            save = op.save
+            if isinstance(save, Operator) and not save.is_noop():
+                return None  # per-frame star-image saves need the frame loop
+            star_detect = op
+            continue
+        if isinstance(op, (OpExportStats, OpSave)):
+            continue  # handled inside the fused executor / at the barrier
+        if not op.is_noop():
+            return None
+    # the fused program ALWAYS runs repair + detection, so both must be active
+    if bad_pixel is None or bad_pixel.is_noop():
+        return None
+    if star_detect is None or star_detect.is_noop():
+        return None
+    # per-frame save patterns need materialized per-frame results
+    for op in op_preproc.steps:
+        if isinstance(op, OpSave) and not op.is_noop():
+            return None
+    # pass the file name through even when empty: the per-frame op logs an
+    # "exportStats empty fileName" line in that case, and the fused executor
+    # must emit identical logs
+    export_stats = next(
+        (op.file_name for op in op_preproc.steps
+         if isinstance(op, OpExportStats)), None)
+    return FusedPreprocessSpec(
+        dark=calibrate.dark if calibrate is not None else "",
+        flat=calibrate.flat if calibrate is not None else "",
+        bp_sigma_low=bad_pixel.sigma_low, bp_sigma_high=bad_pixel.sigma_high,
+        star_radius=star_detect.radius, star_sig=star_detect.sigma,
+        star_bp_sig=star_detect.bad_pixel_sigma,
+        star_in_out=star_detect.in_out_ratio,
+        export_stats=export_stats)
 
 
 def build_command_seq(args):
@@ -71,28 +142,7 @@ def build_command_seq(args):
         return OpSequence(steps=[op_load_many, op_preproc])
 
     if cmd == "stack":
-        import os
-
-        from nightlight_tpu.pipeline.ops_stack import FusedPreprocessSpec
-
-        # Fused whole-batch preprocess (models/fastpath.py): eligible when
-        # the preprocess chain reduces to calibrate+badPixel+starDetect
-        # [+exportStats] -- i.e. every other op in build_preprocess_seq is a
-        # no-op under these args -- and no per-frame save patterns are set.
-        # NIGHTLIGHT_NO_FUSED=1 forces the per-frame path for debugging.
-        fused_spec = None
-        if (not args.debayer and args.debandH == 0 and args.debandV == 0
-                and args.binning <= 1 and args.preScale == 1 and args.preOffset == 0
-                and args.backGrid == 0 and not args.pre and not args.stars
-                and args.bpSigLow > 0 and args.bpSigHigh > 0
-                and args.starRadius > 0 and args.starSig > 0
-                and not os.environ.get("NIGHTLIGHT_NO_FUSED")):
-            fused_spec = FusedPreprocessSpec(
-                dark=args.dark, flat=args.flat,
-                bp_sigma_low=args.bpSigLow, bp_sigma_high=args.bpSigHigh,
-                star_radius=args.starRadius, star_sig=args.starSig,
-                star_bp_sig=args.starBpSig, star_in_out=args.starInOut,
-                export_stats=args.exportStats)
+        fused_spec = _fused_spec_from_seq(op_preproc, args)
 
         return OpSequence(steps=[
             op_load_many,
@@ -107,9 +157,12 @@ def build_command_seq(args):
                 # defer_warp: project at the stack/save barrier with the
                 # host-resolved transform (gather-free shift-blend warp);
                 # valid here because OpSave and OpStack both apply
-                # check_align_drop before touching frame data
+                # check_align_drop before touching frame data.
+                # NIGHTLIGHT_NO_DEFER_WARP=1 forces the immediate warp for
+                # debugging and deferred-vs-immediate equivalence tests.
                 OpAlign(k=args.alignK, threshold=args.alignT,
-                        oob_mode=int(OutOfBoundsMode.NaN), defer_warp=True),
+                        oob_mode=int(OutOfBoundsMode.NaN),
+                        defer_warp=not os.environ.get("NIGHTLIGHT_NO_DEFER_WARP")),
                 OpSave(file_pattern=args.post, export_mode=int(ExportMode.MinMax), gamma=1),
                 # negative sigma = goal-seek sigma bounds from target clip
                 # percentages (documented behavior of -stSigLow/-stSigHigh=-1;

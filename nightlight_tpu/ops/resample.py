@@ -95,20 +95,39 @@ def _warp_shift(img: jax.Array, inv: jax.Array, out_of_bounds,
     k_idx = xl_i - jnp.arange(dest_w, dtype=jnp.int32)[None, :] - kmin
     m_idx = yl_i - jnp.arange(dest_h, dtype=jnp.int32)[:, None] - mmin
 
-    padded = jnp.pad(img, _SHIFT_PAD)
+    # Blend on a sanitized copy: a non-finite source pixel would otherwise
+    # poison every destination pixel whose shift window overlaps it through
+    # 0*NaN=NaN. Track non-finiteness separately with INDICATOR weights so a
+    # destination pixel goes NaN iff one of its 4 true bilinear neighbors is
+    # non-finite -- the exact propagation rule of the gather path (_warp),
+    # whose multiply-by-zero also poisons zero-weight neighbors.
+    finite = jnp.isfinite(img)
+    padded = jnp.pad(jnp.where(finite, img, 0.0), _SHIFT_PAD)
+    padded_bad = jnp.pad((~finite).astype(jnp.float32), _SHIFT_PAD)
 
     out = jnp.zeros((dest_h, dest_w), jnp.float32)
+    bad = jnp.zeros((dest_h, dest_w), jnp.float32)
     for i in range(n_mshift):
         wy = jnp.where(m_idx == i, 1.0 - yr, 0.0) + jnp.where(m_idx == i - 1, yr, 0.0)
+        by = ((m_idx == i) | (m_idx == i - 1)).astype(jnp.float32)
         shifted_rows = jax.lax.dynamic_slice(
             padded, (mmin + i + _SHIFT_PAD, 0), (dest_h, w + 2 * _SHIFT_PAD))
+        shifted_bad = jax.lax.dynamic_slice(
+            padded_bad, (mmin + i + _SHIFT_PAD, 0), (dest_h, w + 2 * _SHIFT_PAD))
         acc = jnp.zeros((dest_h, dest_w), jnp.float32)
+        bacc = jnp.zeros((dest_h, dest_w), jnp.float32)
         for j in range(n_kshift):
             wx = jnp.where(k_idx == j, 1.0 - xr, 0.0) + jnp.where(k_idx == j - 1, xr, 0.0)
+            bx = ((k_idx == j) | (k_idx == j - 1)).astype(jnp.float32)
             v = jax.lax.dynamic_slice(shifted_rows, (0, kmin + j + _SHIFT_PAD),
                                       (dest_h, dest_w))
+            vb = jax.lax.dynamic_slice(shifted_bad, (0, kmin + j + _SHIFT_PAD),
+                                       (dest_h, dest_w))
             acc = acc + wx * v
+            bacc = bacc + bx * vb
         out = out + wy * acc
+        bad = bad + by * bacc
+    out = jnp.where(bad > 0, jnp.float32(jnp.nan), out)
     return jnp.where(oob, jnp.float32(out_of_bounds), out)
 
 

@@ -98,6 +98,14 @@ class Operator:
     def make_promises(self, ins: list[Promise], c: Context) -> list[Promise]:
         raise NotImplementedError
 
+    def is_noop(self) -> bool:
+        """True when apply() is a pass-through under the current parameters.
+
+        Mirrors each op's own first-line guard; the fused batch executor
+        derives its eligibility from these (models/presets.py) so the gate
+        cannot drift from the DAG. Conservative default: not a no-op."""
+        return False
+
     def __repr__(self):
         return f"<{type(self).__name__} {self.to_dict()}>"
 
@@ -355,6 +363,9 @@ class OpSave(Operator):
         "export_mode": ("saveMode", int(ExportMode.MinMax)),
         "gamma": ("gamma", 1.0),
     }
+
+    def is_noop(self) -> bool:
+        return not self.file_pattern
 
     def make_promises(self, ins, c):
         if not ins:

@@ -27,6 +27,9 @@ class OpCalibrate(UnaryOperator):
     TYPE = "calibrate"
     PARAMS = {"dark": ("dark", ""), "flat": ("flat", "")}
 
+    def is_noop(self) -> bool:
+        return not self.dark and not self.flat
+
     def _init_masters(self, c: Context) -> None:
         """Load dark/flat once under the context lock (preprocess.go:102-143).
         By convention the dark is ID -1 and the flat -2."""
@@ -89,6 +92,9 @@ class OpBadPixel(UnaryOperator):
         super().__init__(**kwargs)
         self.debayer = debayer
 
+    def is_noop(self) -> bool:
+        return self.sigma_low == 0 or self.sigma_high == 0
+
     def apply(self, f: Image, c: Context) -> Image:
         if self.sigma_low == 0 or self.sigma_high == 0:
             return f
@@ -130,6 +136,9 @@ class OpDebayer(UnaryOperator):
     TYPE = "debayer"
     PARAMS = {"channel": ("channel", ""), "color_filter_array": ("colorFilterArray", "RGGB")}
 
+    def is_noop(self) -> bool:
+        return not self.channel or not self.color_filter_array
+
     def apply(self, f: Image, c: Context) -> Image:
         if not self.channel or not self.color_filter_array:
             return f
@@ -147,6 +156,9 @@ class OpDebandHoriz(UnaryOperator):
     TYPE = "debandHoriz"
     PARAMS = {"percentile": ("percentile", 50.0), "window": ("window", 128),
               "sigma": ("sigma", 3.0)}
+
+    def is_noop(self) -> bool:
+        return self.percentile <= 0 or self.percentile >= 100 or self.window <= 0
 
     def apply(self, f: Image, c: Context) -> Image:
         if self.percentile <= 0 or self.percentile >= 100 or self.window <= 0:
@@ -172,6 +184,9 @@ class OpDebandVert(UnaryOperator):
     PARAMS = {"percentile": ("percentile", 50.0), "window": ("window", 128),
               "sigma": ("sigma", 3.0)}
 
+    def is_noop(self) -> bool:
+        return self.percentile <= 0 or self.percentile >= 100
+
     def apply(self, f: Image, c: Context) -> Image:
         if self.percentile <= 0 or self.percentile >= 100:
             return f
@@ -195,6 +210,9 @@ class OpScaleOffset(UnaryOperator):
     TYPE = "scaleOffset"
     PARAMS = {"scale": ("scale", 1.0), "offset": ("offset", 0.0)}
 
+    def is_noop(self) -> bool:
+        return self.scale == 1 and self.offset == 0
+
     def apply(self, f: Image, c: Context) -> Image:
         if self.scale == 1 and self.offset == 0:
             return f
@@ -211,6 +229,9 @@ class OpBin(UnaryOperator):
 
     TYPE = "bin"
     PARAMS = {"bin_size": ("binSize", 1)}
+
+    def is_noop(self) -> bool:
+        return self.bin_size <= 1
 
     def apply(self, f: Image, c: Context) -> Image:
         if self.bin_size <= 1:
@@ -233,6 +254,9 @@ class OpStarDetect(UnaryOperator):
         "in_out_ratio": ("inOutRatio", 10.0),
         "save": ("save", None),  # OpSave or None
     }
+
+    def is_noop(self) -> bool:
+        return self.radius == 0 or self.sigma == 0
 
     def apply(self, f: Image, c: Context) -> Image:
         if self.radius == 0 or self.sigma == 0:
@@ -276,6 +300,9 @@ class OpBackExtract(UnaryOperator):
         "clip": ("clip", 0),
         "save": ("save", None),  # OpSave or None
     }
+
+    def is_noop(self) -> bool:
+        return self.grid_size <= 0
 
     def apply(self, f: Image, c: Context) -> Image:
         if self.grid_size <= 0:

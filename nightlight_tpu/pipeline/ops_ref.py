@@ -206,6 +206,9 @@ class OpExportStats(UnaryOperator):
     TYPE = "exportStats"
     PARAMS = {"file_name": ("fileName", "out.html")}
 
+    def is_noop(self) -> bool:
+        return not self.file_name
+
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
         self._mutex = threading.Lock()

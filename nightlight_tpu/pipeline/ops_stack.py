@@ -252,20 +252,28 @@ class OpStackBatches(Operator):
                " as floating point.\n", num_frames, width, height, pixels * 1e-6, mib)
 
         if self.fused_spec is not None:
-            # The fused executor's HBM peak is 2x the frame pixels (raw +
-            # repaired batches) PLUS detection's candidate working set,
-            # which is per-CHUNK, not per-frame (DETECT_CHUNK x K x patch
-            # buffers, ~2GB -- it dominated and OOMed a 250x1MP batch when
-            # budgeted per pixel). Host stacking memory budgets the frames
-            # alone, like the reference's -stMemory.
+            # The fused executor donates the input batch (fastpath.py), so
+            # its HBM peak is ~1x the frame pixels (repaired batch aliasing
+            # the raw one) PLUS detection's candidate working set, which is
+            # per-CHUNK, not per-frame (DETECT_CHUNK x K x patch buffers --
+            # it dominated and OOMed a 250x1MP batch when budgeted per
+            # pixel). The buffer factor 6 covers the CoM/HFR temporaries:
+            # the compiled program's measured temp allocation is ~4.1
+            # patch-buffers' worth (memory_analysis at (8,512,512) and
+            # (8,1024,1024): 1.14 GB vs 0.83 GB for 3 unpadded buffers), so
+            # 6 gives ~1.5x margin on top of the measured peak. The frame
+            # term keeps factor 2 as margin for the downstream warp+stack
+            # phase, whose input and output batches coexist. Host stacking
+            # memory budgets the frames alone, like the reference's
+            # -stMemory.
             from nightlight_tpu.models.fastpath import DETECT_CHUNK
             from nightlight_tpu.detect.stars import MAX_CANDIDATES
 
             patch = 4 * (self.fused_spec.star_radius or 16) + 1
             detect_ws_mb = (DETECT_CHUNK * MAX_CANDIDATES
                             * ((patch + 15) // 8 * 8) * ((patch + 127) // 128 * 128)
-                            * 4 * 3) >> 20
-            dev_budget_mb = self._device_memory_mb() * 4 // 10
+                            * 4 * 6) >> 20
+            dev_budget_mb = self._device_memory_mb() * 5 // 10
             dev_frames = max(0, dev_budget_mb - detect_ws_mb) // max(1, 2 * mib)
             available_frames = min((c.stack_memory_mb << 20) // nbytes, dev_frames)
         else:

@@ -234,7 +234,11 @@ function enumField(op, p) {
     const o = document.createElement("option");
     o.textContent = label || "(none)";
     o.value = JSON.stringify(value);
-    if (value === op[p.name]) o.selected = true;
+    // Loose comparison by normalized string: values arriving as strings
+    // (hand-edited JSON import, or a param previously set via the generic
+    // text input) must still preselect the matching numeric option instead
+    // of silently displaying the first one.
+    if (value === op[p.name] || String(value) === String(op[p.name])) o.selected = true;
     sel.appendChild(o);
   }
   sel.onchange = () => { op[p.name] = JSON.parse(sel.value); render(); };

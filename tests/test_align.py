@@ -184,6 +184,36 @@ class TestShiftWarp:
         m = ~np.isnan(gather)
         np.testing.assert_allclose(out[m], gather[m], rtol=0, atol=1e-4)
 
+    def test_nonfinite_source_matches_gather_propagation(self, rng):
+        """A NaN/Inf source pixel must poison exactly the destination pixels
+        whose 4 bilinear neighbors include it (the gather-path rule, where
+        0*NaN=NaN hits even zero-weight neighbors) -- NOT every pixel whose
+        shift window overlaps it."""
+        from nightlight_tpu.align import transform as tf
+        from nightlight_tpu.ops.resample import _shift_plan, _warp, _warp_shift
+
+        img = rng.uniform(0, 100, size=(64, 80)).astype(np.float32)
+        img[20, 30] = np.nan
+        img[40, 55] = np.nan
+        trans = np.array([1.00003, 0.00002, 4.6,
+                          -0.00001, 0.99998, -2.3], np.float32)
+        inv = tf.invert(trans)
+        plan = _shift_plan(inv, img.shape, [80, 64])
+        assert plan is not None
+        kmin, mmin, n_k, n_m = plan
+        gather = np.asarray(_warp(jnp.asarray(img), jnp.asarray(inv),
+                                  float(np.nan), 64, 80))
+        out = np.asarray(_warp_shift(
+            jnp.asarray(img), jnp.asarray(inv, np.float32),
+            jnp.float32(np.nan), jnp.int32(kmin), jnp.int32(mmin),
+            64, 80, n_k, n_m))
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(gather))
+        m = ~np.isnan(gather)
+        # poisoning stayed local: only the OOB border plus ~4 bilinear
+        # neighbors per bad pixel go NaN, not whole shift windows
+        assert m.sum() > 0.85 * gather.size
+        np.testing.assert_allclose(out[m], gather[m], rtol=0, atol=1e-4)
+
     def test_project_routes_small_transforms_to_shift_path(self, rng):
         from unittest import mock
 
@@ -217,8 +247,9 @@ class TestShiftWarp:
         assert _shift_plan(tf.invert(trans), (2048, 2048), [2048, 2048]) is None
 
     def test_deferred_warp_e2e_matches_immediate(self, tmp_path, monkeypatch):
-        """CLI stack (defer_warp path) vs per-frame JSON align op (immediate
-        device warp): same planted-shift recovery, same stacked pixels."""
+        """CLI stack with defer_warp (projection at the stack barrier) vs the
+        same pipeline with OpAlign(defer_warp=False) (immediate warp inside
+        the align op): same planted-shift recovery, same stacked pixels."""
         from nightlight_tpu.io import fits as nlfits
         from tests.test_pipeline_e2e import run_cli, write_frames
 
@@ -227,7 +258,10 @@ class TestShiftWarp:
         rc = run_cli(["-out", "a.fits", "-jpg", "", "-exportStats", "", "-log", "",
                       "stack", "light*.fits"], tmp_path)
         assert rc == 0
-        monkeypatch.setenv("NIGHTLIGHT_NO_FUSED", "1")
+        # NIGHTLIGHT_NO_DEFER_WARP makes the preset build
+        # OpAlign(defer_warp=False), so run b actually takes the
+        # immediate-warp branch of OpAlign.apply
+        monkeypatch.setenv("NIGHTLIGHT_NO_DEFER_WARP", "1")
         rc = run_cli(["-out", "b.fits", "-jpg", "", "-exportStats", "", "-log", "",
                       "stack", "light*.fits"], tmp_path)
         assert rc == 0
