@@ -18,16 +18,25 @@ import jax.numpy as jnp
 from nightlight_tpu.ops import stack as stk
 
 
-@partial(jax.jit, static_argnames=("mode", "max_iter", "target_l", "target_h"))
+@partial(jax.jit, static_argnames=("mode", "max_iter", "target_l", "target_h",
+                                   "axis_name", "use_pallas"))
 def _search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
-                   mode: int, max_iter: int):
+                   mode: int, max_iter: int, axis_name: str | None = None,
+                   use_pallas: bool | None = None, total=None):
     """The full dual binary search as ONE device program: each round is a
     complete stack evaluation (the Pallas kernel on TPU) plus the bracket
     update; the per-round history [sig_lo, sig_hi, clip_lo, clip_hi] comes
     back in a single fetch. Semantics of binarySearchAndStack
     (stackfindsigma.go:49-100): brackets [1, 11], midpoint start, converge
-    when round(100*perc) hits round(100*target) on both sides."""
-    total = frames.size
+    when round(100*perc) hits round(100*target) on both sides.
+
+    With axis_name set, the function runs as a shard_map body over a
+    row-sharded frame block: per-shard clip counts psum over the mesh, so
+    every shard makes IDENTICAL bracket decisions and the while_loops stay
+    in lockstep. `total` is then the GLOBAL sample count (frames.size is
+    the local block here)."""
+    if total is None:
+        total = frames.size
     p = frames[0].size
 
     def body(state):
@@ -36,7 +45,11 @@ def _search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
         hi_m = 0.5 * (hi_l + hi_r)
         out, cl, ch = stk.stack(frames, stk.StackMode(mode), weights=weights,
                                 sigma_low=lo_m, sigma_high=hi_m,
-                                ref_frame_loc=ref_frame_loc)
+                                ref_frame_loc=ref_frame_loc,
+                                use_pallas=use_pallas)
+        if axis_name is not None:
+            cl = jax.lax.psum(cl, axis_name)
+            ch = jax.lax.psum(ch, axis_name)
         perc_l = cl.astype(jnp.float32) * 100.0 / total
         perc_h = ch.astype(jnp.float32) * 100.0 / total
         delta_l = jnp.floor(100.0 * perc_l + 0.5).astype(jnp.int32) - target_l
@@ -64,9 +77,11 @@ def _search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
     return out.reshape(frames.shape[1:]), hist, clips, n_iter
 
 
-@partial(jax.jit, static_argnames=("mode", "max_iter", "target_l", "target_h"))
+@partial(jax.jit, static_argnames=("mode", "max_iter", "target_l", "target_h",
+                                   "axis_name", "use_pallas"))
 def _newton_search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
-                          mode: int, max_iter: int):
+                          mode: int, max_iter: int, axis_name: str | None = None,
+                          use_pallas: bool | None = None, total=None):
     """Newton goal-seek for linear-fit stacking, as ONE device program.
 
     The dual binary search assumes each sigma bound only moves its own clip
@@ -77,15 +92,21 @@ def _newton_search_device(frames, weights, ref_frame_loc, target_l: int, target_
     (stackfindsigma.go:101-169; its high side compares against the LOW
     target -- a dead-code slip we correct by using the high target).
     Three stack evaluations per round, all Pallas kernels on TPU.
+    Sharded-run semantics of axis_name/total as in _search_device.
     """
-    total = frames.size
+    if total is None:
+        total = frames.size
     p = frames[0].size
     eps = jnp.float32(0.005)
 
     def clips_at(sig_lo, sig_hi):
         out, cl, ch = stk.stack(frames, stk.StackMode(mode), weights=weights,
                                 sigma_low=sig_lo, sigma_high=sig_hi,
-                                ref_frame_loc=ref_frame_loc)
+                                ref_frame_loc=ref_frame_loc,
+                                use_pallas=use_pallas)
+        if axis_name is not None:
+            cl = jax.lax.psum(cl, axis_name)
+            ch = jax.lax.psum(ch, axis_name)
         return out, cl.astype(jnp.float32), ch.astype(jnp.float32)
 
     def body(state):
@@ -122,10 +143,38 @@ def _newton_search_device(frames, weights, ref_frame_loc, target_l: int, target_
     return out.reshape(frames.shape[1:]), hist, clips, n_iter
 
 
+def _sharded_search(search, frames, weights, ref_frame_loc, target_l, target_h,
+                    mode, max_iter, mesh, axis, use_pallas):
+    """Run a goal-seek search row-sharded over the mesh: each shard executes
+    the search on its local block (Pallas kernels where enabled) with the
+    clip counts psum'd, so the bracket/Newton decisions -- and thus the
+    iteration counts -- are identical on every shard. hist/clips/n_iter are
+    replicated outputs; the stacked result stays row-sharded."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    total = jnp.float32(frames.size)
+
+    def local(fl, w):
+        return search(fl, w, ref_frame_loc, target_l, target_h, mode, max_iter,
+                      axis_name=axis, use_pallas=use_pallas, total=total)
+
+    out_specs = (P(axis, *([None] * (frames.ndim - 2))), P(), P(), P())
+    frame_spec = P(None, axis, *([None] * (frames.ndim - 2)))
+    if weights is None:
+        return shard_map(lambda fl: local(fl, None), mesh=mesh,
+                         in_specs=(frame_spec,), out_specs=out_specs,
+                         check_vma=False)(frames)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(frame_spec, P()), out_specs=out_specs,
+                     check_vma=False)(frames, weights)
+
+
 def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
                           ref_frame_loc: float = 0.0,
                           clip_perc_low: float = 0.5, clip_perc_high: float = 0.5,
-                          max_iter: int = 20, log=None):
+                          max_iter: int = 20, log=None, mesh=None, axis: str = "pix",
+                          use_pallas: bool | None = None):
     """Goal-seek sigma_low/sigma_high until the realized clip percentages
     match the targets (to 0.01%), then return that stack.
 
@@ -135,11 +184,19 @@ def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
     Newton joint update (newtonMethodAndStack, stackfindsigma.go:101-169)
     because its per-clip re-fit couples the two bounds and breaks the
     brackets. Modes without sigmas fall through to a plain stack.
+
+    With `mesh` set the whole search runs row-sharded (shard_map with
+    psum'd clip counts -- see _sharded_search); this keeps the Pallas
+    kernels usable under SPMD.
     """
     if mode == stk.StackMode.Auto:
         mode = stk.auto_select_mode(frames.shape[0])
+    shardable = (mesh is not None and frames.ndim >= 3
+                 and frames.shape[1] % int(mesh.devices.size) == 0)
     if mode not in (stk.StackMode.Sigma, stk.StackMode.WinsorSigma, stk.StackMode.LinearFit):
-        out, cl, ch = stk.stack(frames, mode, weights=weights, ref_frame_loc=ref_frame_loc)
+        out, cl, ch = stk.stack(frames, mode, weights=weights, ref_frame_loc=ref_frame_loc,
+                                mesh=mesh if shardable else None, axis=axis,
+                                use_pallas=use_pallas)
         return out, cl, ch, 0.0, 0.0
 
     import numpy as np
@@ -147,10 +204,16 @@ def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
     search = (_newton_search_device if mode == stk.StackMode.LinearFit
               else _search_device)
     total = frames.size
-    out, hist, clips, n_iter = search(
-        frames, weights, jnp.float32(ref_frame_loc),
-        int(100 * clip_perc_low), int(100 * clip_perc_high),
-        int(mode), max_iter)
+    if shardable:
+        out, hist, clips, n_iter = _sharded_search(
+            search, frames, weights, jnp.float32(ref_frame_loc),
+            int(100 * clip_perc_low), int(100 * clip_perc_high),
+            int(mode), max_iter, mesh, axis, use_pallas)
+    else:
+        out, hist, clips, n_iter = search(
+            frames, weights, jnp.float32(ref_frame_loc),
+            int(100 * clip_perc_low), int(100 * clip_perc_high),
+            int(mode), max_iter, use_pallas=use_pallas)
     if mode == stk.StackMode.LinearFit:
         # Newton aborts wherever the epsilon probe moves zero samples (flat
         # derivative -- e.g. no clipping at all at the 6.0 start point, the
@@ -166,10 +229,16 @@ def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
         if d_l != 0 or d_h != 0:
             if log:
                 log.write("Newton method off target, retrying with binary search\n")
-            out, hist, clips, n_iter = _search_device(
-                frames, weights, jnp.float32(ref_frame_loc),
-                int(100 * clip_perc_low), int(100 * clip_perc_high),
-                int(mode), max_iter)
+            if shardable:
+                out, hist, clips, n_iter = _sharded_search(
+                    _search_device, frames, weights, jnp.float32(ref_frame_loc),
+                    int(100 * clip_perc_low), int(100 * clip_perc_high),
+                    int(mode), max_iter, mesh, axis, use_pallas)
+            else:
+                out, hist, clips, n_iter = _search_device(
+                    frames, weights, jnp.float32(ref_frame_loc),
+                    int(100 * clip_perc_low), int(100 * clip_perc_high),
+                    int(mode), max_iter, use_pallas=use_pallas)
     # two device fetches for the whole search: the float sigma history and
     # the int32 clip counts (NOT bitcast through float32 -- counts < 2^23
     # land on denormals, which the TPU flushes to zero in transit)

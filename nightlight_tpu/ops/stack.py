@@ -414,9 +414,60 @@ def _pallas_available() -> bool:
     return platform == "tpu"
 
 
+def stack_sharded(frames: jax.Array, mesh, mode: StackMode, weights=None,
+                  sigma_low: float = 2.75, sigma_high: float = 2.75,
+                  ref_frame_loc: float = 0.0, axis: str = "pix",
+                  use_pallas: bool | None = None):
+    """Row-sharded stacking reduction over a device mesh, running the Pallas
+    kernels PER SHARD.
+
+    XLA's sharding propagation cannot auto-partition a pallas_call, so the
+    sharded pipeline used to fall back to the XLA stack path (440-4500x
+    slower than the kernels at 40 frames, BASELINE.md). shard_map hands each
+    shard its local (N, rows/n, W) block explicitly: the reduction is
+    per-pixel independent, so the kernel runs unmodified on the local block
+    and only the scalar clip counters cross shards (one psum over ICI).
+    This is the TPU scaling analog of the reference's pixel-sliced work
+    packages (stack.go:134-218).
+
+    frames: (N, H, W) with H divisible by the mesh size. Returns
+    (stacked (H, W) sharded P(axis, None), clip_lo, clip_hi replicated).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mode = StackMode(mode)
+    if mode == StackMode.Auto:
+        mode = auto_select_mode(frames.shape[0])
+
+    def local(fl, w, slo, shi, rloc):
+        data, cl, ch = stack(fl, mode, weights=w, sigma_low=slo,
+                             sigma_high=shi, ref_frame_loc=rloc,
+                             use_pallas=use_pallas)
+        return data, jax.lax.psum(cl, axis), jax.lax.psum(ch, axis)
+
+    slo = jnp.float32(sigma_low)
+    shi = jnp.float32(sigma_high)
+    rloc = jnp.float32(ref_frame_loc)
+    out_specs = (P(axis, *([None] * (frames.ndim - 2))), P(), P())
+    frame_spec = P(None, axis, *([None] * (frames.ndim - 2)))
+    if weights is None:
+        return shard_map(
+            lambda fl, a, b, c: local(fl, None, a, b, c), mesh=mesh,
+            in_specs=(frame_spec, P(), P(), P()), out_specs=out_specs,
+            check_vma=False,
+        )(frames, slo, shi, rloc)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(frame_spec, P(), P(), P(), P()), out_specs=out_specs,
+        check_vma=False,
+    )(frames, weights, slo, shi, rloc)
+
+
 def stack(frames: jax.Array, mode: StackMode, weights=None,
           sigma_low: float = 2.75, sigma_high: float = 2.75,
-          ref_frame_loc: float = 0.0, use_pallas: bool | None = None):
+          ref_frame_loc: float = 0.0, use_pallas: bool | None = None,
+          mesh=None, axis: str = "pix"):
     """Stack (N, ...) frames along axis 0. Returns (stacked, clip_lo, clip_hi).
 
     `frames` may be any shape with the frame axis first; NaNs mark missing
@@ -424,11 +475,21 @@ def stack(frames: jax.Array, mode: StackMode, weights=None,
 
     Sigma, winsorized, and linear-fit modes route to the VMEM-resident Pallas
     kernels (ops/stack_pallas.py) on TPU -- ~4000x faster than the XLA loop
-    at 40 frames -- unless `use_pallas=False` (required under sharding
-    annotations, where a pallas_call cannot be auto-partitioned). Linear fit
-    (the auto mode for >=25 frames, stack.go:45-55) has no weighted variant,
-    matching the reference.
+    at 40 frames -- unless `use_pallas=False`. Linear fit (the auto mode for
+    >=25 frames, stack.go:45-55) has no weighted variant, matching the
+    reference.
+
+    With `mesh` set, the reduction runs row-sharded over the mesh via
+    shard_map (stack_sharded), which keeps the kernel path available under
+    SPMD: a pallas_call cannot be auto-partitioned by sharding annotations,
+    but runs unchanged on each shard's local block.
     """
+    if mesh is not None and frames.ndim >= 3 \
+            and frames.shape[1] % int(mesh.devices.size) == 0:
+        return stack_sharded(frames, mesh, mode, weights=weights,
+                             sigma_low=sigma_low, sigma_high=sigma_high,
+                             ref_frame_loc=ref_frame_loc, axis=axis,
+                             use_pallas=use_pallas)
     shape = frames.shape[1:]
     flat = frames.reshape(frames.shape[0], -1)
     if mode == StackMode.Auto:

@@ -106,12 +106,19 @@ def sharded_auto_stretch(mesh: Mesh, max_iter: int = 50, axis: str = "pix"):
 
 def _pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
                    loc0, scale0, sigma_low, sigma_high, mode: int,
-                   use_pallas: bool = False):
+                   use_pallas: bool | None = False, mesh: Mesh | None = None,
+                   axis: str = "pix"):
     """One fused training-step analog: calibrate every frame, match
     histograms to the reference, and reduce the frame axis with the
     configured outlier-rejection stack. All math is per-pixel independent,
     so a row-sharded input runs without any cross-device transfers until
-    the scalar clip counters (psum)."""
+    the scalar clip counters (psum).
+
+    With `mesh` set the stacking reduction runs through shard_map
+    (ops/stack.stack_sharded), which keeps the Pallas kernels usable under
+    SPMD -- a pallas_call cannot be auto-partitioned by sharding
+    annotations, but runs unchanged on each shard's local rows. Without a
+    mesh, `use_pallas` selects the single-chip kernel path (bench)."""
     # calibration (pre/preprocess.go:68-99)
     cal = frames - dark[None]
     cal = jnp.where(flat[None] <= 0.0, cal, cal * flat_max / flat[None])
@@ -119,14 +126,10 @@ def _pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
     mult = (ref_scales / scale0)[:, None, None]
     off = (ref_locs - loc0 * (ref_scales / scale0))[:, None, None]
     matched = cal * mult + off
-    # stacking reduction over the frame axis
-    # use_pallas=False by default: a pallas_call cannot be auto-partitioned
-    # under the mesh sharding annotations; bench passes True for the
-    # single-chip fast path.
     stacked, clip_lo, clip_hi = stk.stack(
         matched, stk.StackMode(mode), weights=weights,
         sigma_low=sigma_low, sigma_high=sigma_high, ref_frame_loc=loc0,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, mesh=mesh, axis=axis)
     return stacked, clip_lo, clip_hi
 
 
@@ -163,12 +166,15 @@ def _warp_frames(frames, invs):
 
 def _full_pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_scales,
                         loc0, scale0, invs, sigma_low, sigma_high, mode: int,
-                        use_pallas: bool = False):
+                        use_pallas: bool | None = False, mesh: Mesh | None = None,
+                        axis: str = "pix"):
     """The complete per-batch device program: calibrate + histogram-match +
     align-warp + outlier-rejection stack. The warp's bilinear gather is the
     one phase whose row-sharded reads cross shard boundaries (a frame's
     pixels move between rows under the transform); XLA resolves it with a
-    collective on the frames operand, so only this phase pays ICI traffic."""
+    collective on the frames operand, so only this phase pays ICI traffic.
+    With `mesh` set the stack reduction runs shard_map'ed (Pallas-capable
+    under SPMD, see _pipeline_step)."""
     cal = frames - dark[None]
     cal = jnp.where(flat[None] <= 0.0, cal, cal * flat_max / flat[None])
     mult = (ref_scales / scale0)[:, None, None]
@@ -178,7 +184,7 @@ def _full_pipeline_step(frames, dark, flat, flat_max, weights, ref_locs, ref_sca
     stacked, clip_lo, clip_hi = stk.stack(
         warped, stk.StackMode(mode), weights=weights,
         sigma_low=sigma_low, sigma_high=sigma_high, ref_frame_loc=loc0,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, mesh=mesh, axis=axis)
     return stacked, clip_lo, clip_hi
 
 
@@ -249,10 +255,12 @@ def _warp_frames_halo(frames, invs, mesh: Mesh, halo: int, axis: str = "pix"):
 
 
 def sharded_full_pipeline_step_halo(mesh: Mesh, mode: int = int(stk.StackMode.Sigma),
-                                    halo: int = 32, axis: str = "pix"):
+                                    halo: int = 32, axis: str = "pix",
+                                    use_pallas: bool | None = None):
     """Like sharded_full_pipeline_step, but the warp exchanges halo rows
     over ICI instead of gathering frames. Cross-device traffic per frame
-    drops from O(H x W) to O(2 x halo x W)."""
+    drops from O(H x W) to O(2 x halo x W). The stack reduction runs
+    shard_map'ed (Pallas kernels per shard on TPU)."""
     data_sharding = NamedSharding(mesh, P(None, axis, None))
     out_sharding = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
@@ -268,7 +276,8 @@ def sharded_full_pipeline_step_halo(mesh: Mesh, mode: int = int(stk.StackMode.Si
         warped = _warp_frames_halo(matched, invs, mesh, halo, axis)
         return stk.stack(warped, stk.StackMode(mode), weights=weights,
                          sigma_low=sigma_low, sigma_high=sigma_high,
-                         ref_frame_loc=loc0, use_pallas=False)
+                         ref_frame_loc=loc0, use_pallas=use_pallas,
+                         mesh=mesh, axis=axis)
 
     return jax.jit(
         step,
@@ -278,17 +287,80 @@ def sharded_full_pipeline_step_halo(mesh: Mesh, mode: int = int(stk.StackMode.Si
     )
 
 
+def required_halo(invs, dest_h: int, dest_w: int) -> int:
+    """Smallest halo (in rows) that lets every destination pixel of every
+    frame read its bilinear source rows locally under the given inverse
+    transforms: max |py - y| over the destination corners, plus 1 for the
+    bilinear +1 neighbor. Affine transforms attain their extreme row
+    displacement at a corner, so checking the 4 corners is exact."""
+    import math
+
+    invs = np.asarray(invs, np.float64).reshape(-1, 6)
+    corners = [(0.0, 0.0), (dest_w - 1.0, 0.0), (0.0, dest_h - 1.0),
+               (dest_w - 1.0, dest_h - 1.0)]
+    worst = 0.0
+    for inv in invs:
+        for (x, y) in corners:
+            py = inv[3] * x + inv[4] * y + inv[5]
+            worst = max(worst, abs(py - y))
+    return int(math.floor(worst)) + 2
+
+
+def sharded_full_pipeline_step_auto(mesh: Mesh, invs,
+                                    mode: int = int(stk.StackMode.Sigma),
+                                    dest_h: int = 0, dest_w: int = 0,
+                                    halo_cap: int = 128, axis: str = "pix",
+                                    use_pallas: bool | None = None, log=None):
+    """Pick the warp strategy from the batch's ACTUAL transforms: the
+    halo-exchange warp with a halo sized to the largest row displacement
+    (bucketed to powers of two so the step compiles once per bucket), or
+    the gather-warp step when the displacement exceeds `halo_cap` rows.
+
+    The fixed-halo step silently NaNs rows whose source lies beyond the
+    halo (the stacker then treats them as missing data) -- a frame with a
+    40 px dither would quietly lose rows. This dispatcher makes that
+    impossible for host-known transforms: the halo always covers the batch
+    or the gather path takes over. Returns the jitted step function."""
+    need = required_halo(invs, dest_h, dest_w)
+    if need > halo_cap:
+        if log is not None:
+            log.write(f"Halo warp: displacement needs {need} rows > cap "
+                      f"{halo_cap}; using the gather-warp step\n")
+        return sharded_full_pipeline_step(mesh, mode, axis=axis,
+                                          use_pallas=use_pallas)
+    halo = 8
+    while halo < need:
+        halo *= 2
+    rows_per = dest_h // int(mesh.devices.size) if dest_h else halo
+    halo = min(halo, max(rows_per, 1))
+    if halo < need:
+        # shard blocks are shorter than the needed halo: exchange cannot
+        # reach far enough, use the gather step
+        if log is not None:
+            log.write(f"Halo warp: displacement {need} exceeds shard height "
+                      f"{rows_per}; using the gather-warp step\n")
+        return sharded_full_pipeline_step(mesh, mode, axis=axis,
+                                          use_pallas=use_pallas)
+    if log is not None:
+        log.write(f"Halo warp: exchanging {halo} boundary rows "
+                  f"(batch needs {need})\n")
+    return sharded_full_pipeline_step_halo(mesh, mode, halo=halo, axis=axis,
+                                           use_pallas=use_pallas)
+
+
 def sharded_full_pipeline_step(mesh: Mesh, mode: int = int(stk.StackMode.Sigma),
-                               axis: str = "pix"):
+                               axis: str = "pix", use_pallas: bool | None = None):
     """Jit the calibrate+match+warp+stack step with row sharding over the
-    mesh. Returns the compiled function."""
+    mesh; the stack reduction runs shard_map'ed (Pallas kernels per shard
+    on TPU). Returns the compiled function."""
     data_sharding = NamedSharding(mesh, P(None, axis, None))
     out_sharding = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
     plane = NamedSharding(mesh, P(axis, None))
 
     return jax.jit(
-        partial(_full_pipeline_step, mode=mode),
+        partial(_full_pipeline_step, mode=mode, mesh=mesh, axis=axis,
+                use_pallas=use_pallas),
         in_shardings=(data_sharding, plane, plane, rep, rep, rep, rep, rep, rep,
                       rep, rep, rep),
         out_shardings=(out_sharding, rep, rep),
@@ -315,16 +387,19 @@ def run_sharded_full_stack(frames: np.ndarray, dark: np.ndarray, flat: np.ndarra
               jnp.float32(sigma_low), jnp.float32(sigma_high))
 
 
-def sharded_pipeline_step(mesh: Mesh, mode: int = int(stk.StackMode.Sigma), axis: str = "pix"):
+def sharded_pipeline_step(mesh: Mesh, mode: int = int(stk.StackMode.Sigma),
+                          axis: str = "pix", use_pallas: bool | None = None):
     """Jit the full calibrate+match+stack step with row sharding over the
-    mesh. Returns the compiled function."""
+    mesh; the stack reduction runs shard_map'ed (Pallas kernels per shard
+    on TPU). Returns the compiled function."""
     data_sharding = NamedSharding(mesh, P(None, axis, None))
     out_sharding = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
     plane = NamedSharding(mesh, P(axis, None))
 
     fn = jax.jit(
-        partial(_pipeline_step, mode=mode),
+        partial(_pipeline_step, mode=mode, mesh=mesh, axis=axis,
+                use_pallas=use_pallas),
         in_shardings=(data_sharding, plane, plane, rep, rep, rep, rep, rep, rep, rep, rep),
         out_shardings=(out_sharding, rep, rep),
     )

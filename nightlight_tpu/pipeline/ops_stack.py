@@ -97,18 +97,21 @@ class OpStack(Operator):
             f.data = None
             if f.stats is not None:
                 f.stats.free_data()
+        # c.mesh routes the reduction through shard_map (stack_sharded /
+        # _sharded_search): each shard runs the stack -- Pallas kernels
+        # included -- on its local rows with psum'd clip counters.
         if self.sigma_low < 0 or self.sigma_high < 0:
             from nightlight_tpu.ops.findsigma import find_sigmas_and_stack
 
             data, clip_lo, clip_hi, sig_lo, sig_hi = find_sigmas_and_stack(
                 frames, mode, weights=weights, ref_frame_loc=self.ref_frame_loc,
                 clip_perc_low=self.clip_perc_low, clip_perc_high=self.clip_perc_high,
-                log=c.log)
+                log=c.log, mesh=c.mesh)
         else:
             data, clip_lo, clip_hi = stk.stack(
                 frames, mode, weights=weights,
                 sigma_low=self.sigma_low, sigma_high=self.sigma_high,
-                ref_frame_loc=self.ref_frame_loc)
+                ref_frame_loc=self.ref_frame_loc, mesh=c.mesh)
 
         if mode >= stk.StackMode.Sigma:
             total = len(fs) * fs[0].pixels

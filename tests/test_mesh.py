@@ -78,6 +78,86 @@ class TestShardedStack:
             assert np.isfinite(np.asarray(out)).all(), mode
 
 
+class TestShardedPallasKernels:
+    """Pallas stacking kernels under SPMD: stack_sharded shard_maps the
+    kernel onto each shard's local rows (interpret mode here; Mosaic on real
+    chips). The reduction is per-pixel independent, so sharding must not
+    change a single bit vs the unsharded kernel."""
+
+    @pytest.fixture(autouse=True)
+    def interpret(self):
+        from nightlight_tpu.ops import stack_pallas as sp
+
+        old = sp.INTERPRET
+        sp.INTERPRET = True
+        yield
+        sp.INTERPRET = old
+
+    def test_sharded_kernel_matches_unsharded(self, mesh, rng):
+        frames, _, _ = _mk_inputs(rng, n=10, h=64, w=128)
+        frames[2, 5, 7] = np.nan  # missing-data lane
+        dev = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+        k_out, k_lo, k_hi = stk.stack_sharded(
+            dev, mesh, stk.StackMode.Sigma, sigma_low=2.0, sigma_high=2.0,
+            use_pallas=True)
+        u_out, u_lo, u_hi = stk.stack(
+            jnp.asarray(frames), stk.StackMode.Sigma, sigma_low=2.0,
+            sigma_high=2.0, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(k_out), np.asarray(u_out))
+        assert (int(k_lo), int(k_hi)) == (int(u_lo), int(u_hi))
+        assert int(k_hi) >= 1
+
+    def test_sharded_kernel_weighted_winsor(self, mesh, rng):
+        frames, _, _ = _mk_inputs(rng, n=8, h=32, w=128)
+        w = jnp.asarray(np.linspace(0.5, 1.5, 8), jnp.float32)
+        dev = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+        k_out, k_lo, k_hi = stk.stack_sharded(
+            dev, mesh, stk.StackMode.WinsorSigma, weights=w,
+            sigma_low=2.0, sigma_high=2.0, use_pallas=True)
+        u_out, u_lo, u_hi = stk.stack(
+            jnp.asarray(frames), stk.StackMode.WinsorSigma, weights=w,
+            sigma_low=2.0, sigma_high=2.0, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(k_out), np.asarray(u_out))
+        assert (int(k_lo), int(k_hi)) == (int(u_lo), int(u_hi))
+
+    def test_stack_mesh_param_routes_sharded(self, mesh, rng):
+        frames, _, _ = _mk_inputs(rng, n=6, h=32, w=64)
+        dev = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+        out, lo, hi = stk.stack(dev, stk.StackMode.Sigma, mesh=mesh,
+                                use_pallas=True)
+        # result is row-sharded (came back through shard_map out_specs)
+        assert len(out.addressable_shards) == 8
+        u_out, u_lo, u_hi = stk.stack(jnp.asarray(frames), stk.StackMode.Sigma,
+                                      use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(u_out))
+        assert (int(lo), int(hi)) == (int(u_lo), int(u_hi))
+
+    def test_sharded_goal_seek_matches(self, mesh, rng):
+        from nightlight_tpu.ops.findsigma import find_sigmas_and_stack
+
+        frames, _, _ = _mk_inputs(rng, n=10, h=32, w=128)
+        dev = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+        g_s = find_sigmas_and_stack(dev, stk.StackMode.Sigma,
+                                    mesh=mesh, use_pallas=True)
+        g_u = find_sigmas_and_stack(jnp.asarray(frames), stk.StackMode.Sigma,
+                                    use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(g_s[0]), np.asarray(g_u[0]))
+        assert (int(g_s[1]), int(g_s[2])) == (int(g_u[1]), int(g_u[2]))
+        assert (g_s[3], g_s[4]) == (g_u[3], g_u[4])
+
+    def test_sharded_goal_seek_linfit_newton(self, mesh, rng):
+        from nightlight_tpu.ops.findsigma import find_sigmas_and_stack
+
+        frames, _, _ = _mk_inputs(rng, n=8, h=16, w=128)
+        dev = jax.device_put(jnp.asarray(frames), shard_rows(mesh))
+        g_s = find_sigmas_and_stack(dev, stk.StackMode.LinearFit,
+                                    mesh=mesh, use_pallas=True)
+        g_u = find_sigmas_and_stack(jnp.asarray(frames), stk.StackMode.LinearFit,
+                                    use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(g_s[0]), np.asarray(g_u[0]))
+        assert (int(g_s[1]), int(g_s[2])) == (int(g_u[1]), int(g_u[2]))
+
+
 class TestShardedFullStep:
     """calibrate+match+WARP+stack: the warp's gather crosses row shards
     (pixels move between rows under the transform), so this exercises the
@@ -179,6 +259,72 @@ class TestHaloWarp:
         # stacker then fills every pixel with RefFrameLoc (=1.0,
         # stack.go:288-297) rather than leaking wrong neighbor-row values
         assert np.all(out == 1.0)
+
+
+class TestHaloAutoDispatch:
+    """The auto dispatcher must size the halo from the batch's transforms or
+    fall back to the gather warp -- silent NaN rows beyond a fixed halo are
+    the failure mode it exists to prevent."""
+
+    def test_required_halo_exact_for_translation(self):
+        from nightlight_tpu.parallel.mesh import required_halo
+
+        invs = np.array([[1, 0, 0, 0, 1, 12.3], [1, 0, 0, 0, 1, -3.0]], np.float32)
+        assert required_halo(invs, 64, 48) == 14  # floor(12.3) + 2
+
+    def test_small_shift_picks_halo_step(self, mesh):
+        import io
+
+        from nightlight_tpu.parallel.mesh import sharded_full_pipeline_step_auto
+
+        invs = np.array([[1, 0, 0, 0, 1, 2.0]], np.float32)
+        log = io.StringIO()
+        sharded_full_pipeline_step_auto(mesh, invs, dest_h=64, dest_w=48, log=log)
+        assert "exchanging 8 boundary rows" in log.getvalue()
+
+    def test_large_shift_falls_back_to_gather(self, mesh, rng):
+        import io
+
+        from nightlight_tpu.parallel.mesh import (
+            sharded_full_pipeline_step, sharded_full_pipeline_step_auto)
+
+        frames, dark, flat = _mk_inputs(rng, n=6, h=64, w=48)
+        n = frames.shape[0]
+        invs = np.array([[1.0, 0.0, 0.0, 0.0, 1.0, 40.0]] * n, np.float32)
+        log = io.StringIO()
+        fn = sharded_full_pipeline_step_auto(
+            mesh, invs, dest_h=64, dest_w=48, halo_cap=16, log=log)
+        assert "gather-warp step" in log.getvalue()
+
+        plane = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("pix", None))
+        ones = jnp.ones(n, jnp.float32)
+        args = (jax.device_put(jnp.asarray(frames), shard_rows(mesh)),
+                jax.device_put(jnp.asarray(dark), plane),
+                jax.device_put(jnp.asarray(flat), plane),
+                jnp.float32(flat.max()), ones, ones, ones,
+                jnp.float32(1.0), jnp.float32(1.0), jnp.asarray(invs),
+                jnp.float32(2.75), jnp.float32(2.75))
+        out_a, _, _ = fn(*args)
+        out_g, _, _ = sharded_full_pipeline_step(mesh)(*args)
+        a, g = np.asarray(out_a), np.asarray(out_g)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(g))
+        # a 40 px shift keeps most rows valid through the gather; the halo
+        # step at halo<=16 would have NaN'ed everything below row 40
+        assert np.isfinite(a[45:, :40]).all()
+
+    def test_halo_clamped_to_shard_height(self, mesh):
+        import io
+
+        from nightlight_tpu.parallel.mesh import sharded_full_pipeline_step_auto
+
+        # 64 rows / 8 shards = 8 rows per shard; a 10 px shift needs halo 12
+        # which no exchange can reach -> gather fallback
+        invs = np.array([[1, 0, 0, 0, 1, 10.0]], np.float32)
+        log = io.StringIO()
+        sharded_full_pipeline_step_auto(mesh, invs, dest_h=64, dest_w=48,
+                                        halo_cap=128, log=log)
+        assert "exceeds shard height" in log.getvalue()
 
 
 class TestShardedDetectAndStretch:

@@ -111,6 +111,28 @@ class TestMosaicVsXLA:
         assert np.isfinite(np.asarray(out)).all()
 
 
+    def test_sharded_kernel_single_device_mesh(self, jnp_frames):
+        """stack_sharded (shard_map + psum'd clip counters) compiling the
+        Mosaic kernel on the chip: a 1-device mesh is the degenerate SPMD
+        case, proving the pallas_call runs under shard_map on real hardware
+        (multi-chip scaling path, parallel/mesh.py)."""
+        import jax
+        import jax.numpy as jnp
+        from nightlight_tpu.ops import stack as stk
+        from nightlight_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:1])
+        frames3d = jnp_frames.reshape(jnp_frames.shape[0], 24, -1)
+        k_out, k_lo, k_hi = stk.stack_sharded(
+            frames3d, mesh, stk.StackMode.Sigma, sigma_low=2.0, sigma_high=2.0,
+            use_pallas=True)
+        u_out, u_lo, u_hi = stk.stack(frames3d, stk.StackMode.Sigma,
+                                      sigma_low=2.0, sigma_high=2.0,
+                                      use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(k_out), np.asarray(u_out))
+        assert (int(k_lo), int(k_hi)) == (int(u_lo), int(u_hi))
+
+
 class TestPatchGatherOnChip:
     def test_dma_gather_matches_xla(self, tpu_cache):
         """The Mosaic DMA patch-gather vs the XLA gather path on the chip
