@@ -54,10 +54,9 @@ _SHIFT_PAD = 256
 _SHIFT_COUNTS = (2, 4, 8)
 
 
-@partial(jax.jit, static_argnames=("dest_h", "dest_w", "n_kshift", "n_mshift"))
-def _warp_shift(img: jax.Array, inv: jax.Array, out_of_bounds,
-                kmin, mmin, dest_h: int, dest_w: int,
-                n_kshift: int, n_mshift: int) -> jax.Array:
+def _warp_shift_impl(img: jax.Array, inv: jax.Array, out_of_bounds,
+                     kmin, mmin, dest_h: int, dest_w: int,
+                     n_kshift: int, n_mshift: int) -> jax.Array:
     """Gather-free bilinear warp for near-identity affine transforms.
 
     XLA's 2D gather executes element-wise on TPU (~1.8s for one 16MP warp,
@@ -129,6 +128,54 @@ def _warp_shift(img: jax.Array, inv: jax.Array, out_of_bounds,
         bad = bad + by * bacc
     out = jnp.where(bad > 0, jnp.float32(jnp.nan), out)
     return jnp.where(oob, jnp.float32(out_of_bounds), out)
+
+
+_warp_shift = partial(jax.jit, static_argnames=(
+    "dest_h", "dest_w", "n_kshift", "n_mshift"))(_warp_shift_impl)
+
+
+@partial(jax.jit, static_argnames=("n_kshift", "n_mshift"), donate_argnums=(0,))
+def _warp_shift_batch(frames: jax.Array, invs: jax.Array, oobs: jax.Array,
+                      kmins: jax.Array, mmins: jax.Array, flags: jax.Array,
+                      n_kshift: int, n_mshift: int) -> jax.Array:
+    """Shift-blend warp for a WHOLE frame batch as one device program.
+
+    frames: (N, H, W); invs (N, 6); oobs/kmins/mmins (N,); flags (N,) bool
+    -- False passes the frame through unwarped (the alignment reference
+    keeps its pixels untouched, no bilinear NaN border). The static shift
+    counts are the batch maxima: a frame needing fewer shifts contributes
+    zero weight on the extra slices (and lax.dynamic_slice clamps their
+    starts), so sharing the bucket is exact. The input batch is DONATED --
+    XLA reuses its HBM for the output, so warping costs ~1x the batch."""
+    n, dest_h, dest_w = frames.shape
+
+    def one(img, inv, oob, kmin, mmin, flag):
+        w = _warp_shift_impl(img, inv, oob, kmin, mmin, dest_h, dest_w,
+                             n_kshift, n_mshift)
+        return jnp.where(flag, w, img)
+
+    return jax.vmap(one)(frames, invs, oobs, kmins, mmins, flags)
+
+
+def plan_batch_shift_warp(shapes, dest_naxisn, invs):
+    """Host-side plan for _warp_shift_batch: per-frame integer shift ranges
+    under a SHARED static (n_k, n_m) bucket (the batch maxima). Returns
+    (kmins, mmins, n_k, n_m) as numpy arrays / ints, or None when any
+    frame's transform needs the general gather warp (the caller then falls
+    back to per-frame projection)."""
+    kmins, mmins = [], []
+    n_k = n_m = 2
+    for shape, inv in zip(shapes, invs):
+        plan = _shift_plan(np.asarray(inv, np.float64), shape, dest_naxisn)
+        if plan is None:
+            return None
+        kmin, mmin, nk, nm = plan
+        kmins.append(kmin)
+        mmins.append(mmin)
+        n_k = max(n_k, nk)
+        n_m = max(n_m, nm)
+    return (np.asarray(kmins, np.int32), np.asarray(mmins, np.int32),
+            int(n_k), int(n_m))
 
 
 def _shift_plan(inv: np.ndarray, src_shape, dest_naxisn):

@@ -203,11 +203,16 @@ class _LazyTransformStr:
         return tf.to_string(resolve_maybe(self._trans))
 
 
-def check_align_drop(f: Image, c: Context):
+def check_align_drop(f: Image, c: Context, project: bool = True):
     """Apply the deferred alignment threshold decision: returns None (and
     logs the reference's skip line) when the frame's residual exceeded the
     threshold, else the frame. Resolving the residual here batches with
-    everything else pending in the deferred pool."""
+    everything else pending in the deferred pool.
+
+    project=False keeps pending_warp_oob set (transform host-resolved, data
+    unwarped) so the caller can project the whole batch as ONE device
+    program (OpStack's fused warp+stack tail); every other consumer
+    projects per frame here."""
     if f is None:
         return None
     thr = getattr(f, "align_threshold", None)
@@ -222,16 +227,18 @@ def check_align_drop(f: Image, c: Context):
         return None
     oob = getattr(f, "pending_warp_oob", None)
     if oob is not None:
-        # deferred projection: the transform is host-resolved now (same
-        # flush as the residual), so the warp routes through the gather-free
-        # shift-blend path for alignment-sized transforms
         import numpy as np
 
         from nightlight_tpu.deferred import resolve_maybe
-        from nightlight_tpu.ops.resample import project
 
         trans = np.asarray(resolve_maybe(f.trans), np.float32)
         f.trans = trans
-        f.set_data(project(f.data, f.naxisn, trans, oob))
-        f.pending_warp_oob = None
+        if project:
+            # deferred projection: the transform is host-resolved now (same
+            # flush as the residual), so the warp routes through the
+            # gather-free shift-blend path for alignment-sized transforms
+            from nightlight_tpu.ops.resample import project as _project
+
+            f.set_data(_project(f.data, f.naxisn, trans, oob))
+            f.pending_warp_oob = None
     return f

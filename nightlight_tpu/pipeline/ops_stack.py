@@ -67,15 +67,76 @@ class OpStack(Operator):
                 raise err
             # Apply any deferred alignment threshold decisions: resolving the
             # first residual flushes the whole pool in one transfer.
+            # project=False keeps the warps pending so apply() can project
+            # the whole batch as one device program (fused tail).
             from nightlight_tpu.pipeline.ops_post import check_align_drop
 
-            fs = [check_align_drop(f, c) for f in fs]
+            fs = [check_align_drop(f, c, project=False) for f in fs]
             fs = [f for f in fs if f is not None]
             if not fs:
                 raise ValueError("No frames left to stack after alignment")
             return self.apply(fs, c)
 
         return [out]
+
+    @staticmethod
+    def _batch_frames(fs: list[Image], c: Context):
+        """Device (N, H, W) batch of the input frames with pending warps
+        applied -- as ONE donated vmapped shift-warp program when every
+        pending transform is shift-eligible and shapes are uniform (the
+        fused warp+stack tail), else per-frame projection (the general
+        path: gather warps, mesh-sharded frames, mixed shapes)."""
+        import numpy as np
+
+        from nightlight_tpu.align import transform as tf
+        from nightlight_tpu.deferred import resolve_maybe
+        from nightlight_tpu.ops.resample import (
+            _warp_shift_batch, plan_batch_shift_warp)
+
+        pending = [f for f in fs if getattr(f, "pending_warp_oob", None) is not None]
+        shape0 = fs[0].data.shape
+        fused = None
+        if pending and c.mesh is None and all(
+                f.data.ndim == 2 and f.data.shape == shape0
+                and list(f.naxisn) == [shape0[1], shape0[0]] for f in fs):
+            invs = []
+            for f in fs:
+                if getattr(f, "pending_warp_oob", None) is not None:
+                    invs.append(tf.invert(np.asarray(resolve_maybe(f.trans), np.float32)))
+                else:
+                    invs.append(tf.invert(tf.identity()))
+            fused = plan_batch_shift_warp([f.data.shape for f in fs],
+                                          fs[0].naxisn, invs)
+        if fused is not None:
+            kmins, mmins, n_k, n_m = fused
+            flags = np.array(
+                [getattr(f, "pending_warp_oob", None) is not None for f in fs])
+            oobs = np.array(
+                [float(resolve_maybe(getattr(f, "pending_warp_oob", None) or 0.0))
+                 for f in fs], np.float32)
+            batch = jnp.stack([f.data for f in fs])
+            for f in fs:  # free originals; the batch is donated to the warp
+                f.data = None
+                f.pending_warp_oob = None
+            return _warp_shift_batch(
+                batch, jnp.asarray(np.stack(invs), jnp.float32),
+                jnp.asarray(oobs), jnp.asarray(kmins), jnp.asarray(mmins),
+                jnp.asarray(flags), n_k, n_m)
+        # fallback: per-frame projection (gather warps, mixed shapes, mesh)
+        from nightlight_tpu.ops.resample import project
+
+        for f in fs:
+            oob = getattr(f, "pending_warp_oob", None)
+            if oob is None:
+                continue
+            trans = np.asarray(resolve_maybe(f.trans), np.float32)
+            f.trans = trans
+            f.set_data(project(f.data, f.naxisn, trans, float(resolve_maybe(oob))))
+            f.pending_warp_oob = None
+        frames = jnp.stack([f.data for f in fs])
+        for f in fs:
+            f.data = None
+        return frames
 
     def apply(self, fs: list[Image], c: Context) -> Image:
         mode = stk.StackMode(self.mode)
@@ -86,15 +147,15 @@ class OpStack(Operator):
 
         weights = stk.get_weights(fs, stk.StackWeighting(self.weighting))
 
-        frames = jnp.stack([f.data for f in fs])
         exposure_sum = sum(f.exposure for f in fs)
         naxisn0 = list(fs[0].naxisn)
         ls_mode0 = fs[0].stats.mode if fs[0].stats else None
-        # Free the per-frame device buffers now that they are copied into the
-        # batch array (the reference frees primaries after stacking too,
-        # stackbatches.go:104-111); halves peak HBM for large batches.
+        # The fused warp+stack tail: any pending deferred warps apply to the
+        # whole batch as ONE donated device program (per-frame source
+        # buffers are freed as they are batched -- the reference frees
+        # primaries after stacking too, stackbatches.go:104-111).
+        frames = self._batch_frames(fs, c)
         for f in fs:
-            f.data = None
             if f.stats is not None:
                 f.stats.free_data()
         # c.mesh routes the reduction through shard_map (stack_sharded /

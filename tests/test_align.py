@@ -149,6 +149,12 @@ class TestProject:
         assert (out == -7.0).all()
 
 
+def _shift_plan_of(inv, src_shape, dest_naxisn):
+    from nightlight_tpu.ops.resample import _shift_plan
+
+    return _shift_plan(np.asarray(inv, np.float64), src_shape, dest_naxisn)
+
+
 class TestShiftWarp:
     """Gather-free shift-blend warp vs the general gather warp: identical
     results for alignment-sized transforms; large transforms fall back."""
@@ -213,6 +219,45 @@ class TestShiftWarp:
         # neighbors per bad pixel go NaN, not whole shift windows
         assert m.sum() > 0.85 * gather.size
         np.testing.assert_allclose(out[m], gather[m], rtol=0, atol=1e-4)
+
+    def test_batch_warp_matches_per_frame(self, rng):
+        """_warp_shift_batch (the fused stack tail's one-program warp) must
+        equal per-frame _warp_shift under the SHARED shift bucket, and pass
+        flag=False frames through untouched (the alignment reference keeps
+        its pixels, no bilinear NaN border)."""
+        from nightlight_tpu.align import transform as tf
+        from nightlight_tpu.ops.resample import (
+            _warp_shift, _warp_shift_batch, plan_batch_shift_warp)
+
+        h, w = 48, 64
+        imgs = rng.uniform(0, 100, size=(3, h, w)).astype(np.float32)
+        transs = [
+            np.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], np.float32),      # ref
+            np.array([1.00002, 0.00001, 3.3, 0.0, 0.99998, -2.1], np.float32),
+            np.array([0.99997, -0.00002, -6.7, 0.00001, 1.00001, 5.4], np.float32),
+        ]
+        invs = [tf.invert(t) for t in transs]
+        plan = plan_batch_shift_warp([im.shape for im in imgs], [w, h], invs)
+        assert plan is not None
+        kmins, mmins, n_k, n_m = plan
+        flags = np.array([False, True, True])
+        out = np.asarray(_warp_shift_batch(
+            jnp.asarray(imgs), jnp.asarray(np.stack(invs), np.float32),
+            jnp.asarray(np.full(3, np.nan, np.float32)),
+            jnp.asarray(kmins), jnp.asarray(mmins), jnp.asarray(flags),
+            n_k, n_m))
+        # frame 0: passthrough, bit-identical, finite everywhere
+        np.testing.assert_array_equal(out[0], imgs[0])
+        # frames 1-2: equal to the per-frame warp AT ITS OWN bucket
+        for i in (1, 2):
+            own = _shift_plan_of(invs[i], (h, w), [w, h])
+            ref = np.asarray(_warp_shift(
+                jnp.asarray(imgs[i]), jnp.asarray(invs[i], np.float32),
+                jnp.float32(np.nan), jnp.int32(own[0]), jnp.int32(own[1]),
+                h, w, own[2], own[3]))
+            np.testing.assert_array_equal(np.isnan(out[i]), np.isnan(ref))
+            m = ~np.isnan(ref)
+            np.testing.assert_allclose(out[i][m], ref[m], rtol=0, atol=1e-4)
 
     def test_project_routes_small_transforms_to_shift_path(self, rng):
         from unittest import mock
