@@ -313,7 +313,11 @@ def write(img: Image, f: BinaryIO) -> None:
     f.write(header.encode("ascii"))
 
     # Payload: float32 big-endian, NaNs replaced with zeros (write.go:182-215).
-    data = np.asarray(img.data, dtype=np.float32).reshape(-1)
+    # Chunked async fetch: the tunnel moves 32 overlapping row-chunk streams
+    # 2-5x faster than one large copy (utils/transfer.py).
+    from nightlight_tpu.utils.transfer import fetch_array
+
+    data = fetch_array(img.data, dtype=np.float32).reshape(-1)
     data = np.nan_to_num(data, nan=0.0, posinf=None, neginf=None)
     payload = data.astype(">f4").tobytes()
     f.write(payload)

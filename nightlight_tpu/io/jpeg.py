@@ -18,7 +18,9 @@ def _scaled_u8(data, vmin: float, vmax: float, gamma: float) -> np.ndarray:
         # bytes over the slow device->host path
         from nightlight_tpu.ops.pixelmath import quantize_for_export
 
-        return np.asarray(quantize_for_export(data, vmin, vmax, float(gamma), 255.0))
+        from nightlight_tpu.utils.transfer import fetch_array
+
+        return fetch_array(quantize_for_export(data, vmin, vmax, float(gamma), 255.0))
     scale = 1.0 / (vmax - vmin)
     d = (data - vmin) * scale
     d = np.nan_to_num(d, nan=0.0)

@@ -112,27 +112,58 @@ def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
                                    star_sig, star_bp_sig, star_in_out,
                                    radius: int, max_candidates: int,
                                    has_dark: bool, has_flat: bool,
-                                   use_pallas_gather: bool = False):
-    """calibrate + badPixel + stats + starDetect for the whole batch as ONE
-    device program (the per-frame semantics of OpCalibrate/OpBadPixel/
+                                   use_pallas_gather: bool = False,
+                                   debayer_channel: str = "", cfa: str = "RGGB",
+                                   pre_scale_offset=None, bin_size: int = 1):
+    """calibrate + badPixel + [debayer + pixel math + binning] + stats +
+    starDetect for the whole batch as ONE device program (the per-frame
+    semantics of OpCalibrate/OpBadPixel/OpDebayer/OpScaleOffset/OpBin/
     OpStarDetect, pipeline/ops_pre.py): light phases vmapped over the full
     frame axis, detection lax.map'ed over DETECT_CHUNK-frame slices to bound
-    its candidate-buffer working set."""
-    from nightlight_tpu.ops.prestack import flat_divide, subtract
+    its candidate-buffer working set.
+
+    With debayer_channel set, bad-pixel repair is the CFA-aware variant
+    (badpixels_bayer.go:26-351) followed by the single-channel bilinear
+    debayer (debayer.go:26-263); statistics and detection then run on the
+    FINAL image, and detection's bad-pixel threshold uses the final image's
+    median-diff stddev -- exactly what the per-frame chain computes when
+    OpBadPixel leaves median_diff_stats unset (detect/stars.find_stars)."""
+    from nightlight_tpu.ops.prestack import (
+        bad_pixel_stats, cosmetic_correction_bayer, debayer_bilinear,
+        flat_divide, subtract)
 
     def calib_frame(img):
         if has_dark:
             img = subtract(img, dark)
         if has_flat:
             img = flat_divide(img, flat, flat_max)
-        repaired, n_bad, diff_std = bad_pixel_repair(img, bp_sigma_low, bp_sigma_high)
-        flat_img = repaired.reshape(-1)
+        if debayer_channel:
+            img, n_bad = cosmetic_correction_bayer(
+                img, debayer_channel, cfa, bp_sigma_low, bp_sigma_high)
+            img = debayer_bilinear(img, debayer_channel, cfa)
+            diff_std = None
+        else:
+            img, n_bad, diff_std = bad_pixel_repair(img, bp_sigma_low, bp_sigma_high)
+        if pre_scale_offset is not None:
+            from nightlight_tpu.ops import pixelmath as pm
+
+            img = pm.scale_offset(img, pre_scale_offset[0], pre_scale_offset[1])
+        if bin_size > 1:
+            h2, w2 = img.shape[0] // bin_size, img.shape[1] // bin_size
+            img = img[: h2 * bin_size, : w2 * bin_size] \
+                .reshape(h2, bin_size, w2, bin_size).mean(axis=(1, 3))
+        if diff_std is None:
+            # the OSC per-frame chain leaves median_diff_stats unset, so
+            # find_stars computes the median-diff stddev on the detection
+            # image itself (find_stars' None branch); do the same here
+            _, diff_std = bad_pixel_stats(img)
+        flat_img = img.reshape(-1)
         mn, me, mx = min_mean_max(flat_img)
         # identical estimator call to Stats._update_location_scale
         # (SCMedianQn, ops/stats.py)
         loc, scale = sigma_clipped_median_qn(
             flat_img, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
-        return repaired, n_bad, diff_std, mn, me, mx, loc, scale
+        return img, n_bad, diff_std, mn, me, mx, loc, scale
 
     repaired, n_bad, diff_std, mn, me, mx, loc, scale = jax.vmap(calib_frame)(frames)
 
@@ -170,7 +201,7 @@ def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
 
 
 _FUSED_STATICS = ("radius", "max_candidates", "has_dark", "has_flat",
-                  "use_pallas_gather")
+                  "use_pallas_gather", "debayer_channel", "cfa", "bin_size")
 # Test/reference entry: caller keeps ownership of `frames`.
 _fused_stack_preprocess_device = partial(
     jax.jit, static_argnames=_FUSED_STATICS)(_fused_stack_preprocess_impl)
@@ -246,6 +277,7 @@ def run_fused_preprocess(images, c, spec) -> list:
     # re-pointed at repaired[i] below.
     for f in images:
         f.data = None
+    has_scale_offset = spec.pre_scale != 1 or spec.pre_offset != 0
     repaired, scalars, stars = _fused_stack_preprocess_device_donated(
         batch,
         dark.data.reshape(shape) if dark is not None else jnp.zeros((1, 1), jnp.float32),
@@ -256,7 +288,12 @@ def run_fused_preprocess(images, c, spec) -> list:
         jnp.float32(spec.star_in_out),
         int(spec.star_radius), int(MAX_CANDIDATES),
         dark is not None, flat is not None,
-        use_pallas_gather=pallas_gather_available())
+        use_pallas_gather=pallas_gather_available(),
+        debayer_channel=spec.debayer.upper() if spec.debayer else "",
+        cfa=spec.cfa,
+        pre_scale_offset=(jnp.float32(spec.pre_scale), jnp.float32(spec.pre_offset))
+        if has_scale_offset else None,
+        bin_size=int(spec.binning) if spec.binning and spec.binning > 1 else 1)
 
     # the ONE batch sync: every per-frame scalar and star list together
     packed = jnp.concatenate(
@@ -272,16 +309,42 @@ def run_fused_preprocess(images, c, spec) -> list:
 
         export_stats = OpExportStats(file_name=spec.export_stats)
 
-    width = int(images[0].naxisn[0])
+    out_h, out_w = int(repaired.shape[1]), int(repaired.shape[2])
     for i, f in enumerate(images):
         n_bad, diff_std, mn, me, mx, loc, scale, num, avg_hfr = scalars_np[i]
-        f.set_data(repaired[i])
-        f.stats = Stats.with_all(f.data, width, mn, mx, me, loc, scale,
+        orig_pixels = f.pixels  # before any debayer/bin resize
+        # per-frame operator log lines, in DAG order (ops_pre.py)
+        if spec.debayer:
+            c.logf("%d: Removed %d bad bayer pixels (%.2f%%) with sigma low=%.2f high=%.2f\n",
+                   f.id, int(n_bad), 100.0 * n_bad / orig_pixels,
+                   spec.bp_sigma_low, spec.bp_sigma_high)
+        else:
+            c.logf("%d: Removed %d bad pixels (%.2f%%) with sigma low=%.2f high=%.2f\n",
+                   f.id, int(n_bad), 100.0 * n_bad / orig_pixels,
+                   spec.bp_sigma_low, spec.bp_sigma_high)
+        f.set_data(repaired[i], naxisn=[out_w, out_h])
+        f.stats = Stats.with_all(f.data, out_w, mn, mx, me, loc, scale,
                                  mode=c.ls_estimator_mode)
-        f.median_diff_stats = Stats.from_stddev(float(diff_std))
-        c.logf("%d: Removed %d bad pixels (%.2f%%) with sigma low=%.2f high=%.2f\n",
-               f.id, int(n_bad), 100.0 * n_bad / f.pixels,
-               spec.bp_sigma_low, spec.bp_sigma_high)
+        # the OSC chain leaves median_diff_stats unset (ops_pre.OpBadPixel's
+        # CFA branch); detection already used the final image's estimate
+        f.median_diff_stats = (None if spec.debayer
+                               else Stats.from_stddev(float(diff_std)))
+        if spec.debayer:
+            # exact post-debayer (pre-bin) size: even-crop from the CFA
+            # offsets, like prestack._adj_crop
+            from nightlight_tpu.ops.prestack import cfa_offsets
+
+            xo, yo = cfa_offsets(spec.cfa)
+            adj_w = (shape[1] - xo) & ~1
+            adj_h = (shape[0] - yo) & ~1
+            c.logf("%d: Debayered channel %s from cfa %s, new size %dx%d\n",
+                   f.id, spec.debayer, spec.cfa, adj_w, adj_h)
+        if spec.pre_scale != 1 or spec.pre_offset != 0:
+            c.logf("%d: Applying pixel math x = x * %.3f + %.3f%%\n",
+                   f.id, spec.pre_scale, spec.pre_offset * 100)
+        if spec.binning and spec.binning > 1:
+            c.logf("%d: After %dx%d binning, new image size %dx%d\n",
+                   f.id, spec.binning, spec.binning, out_w, out_h)
         k = int(num)
         f.stars = StarList(
             x=stars_np[i, 0, :k], y=stars_np[i, 1, :k], value=stars_np[i, 2, :k],

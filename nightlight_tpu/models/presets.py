@@ -54,23 +54,29 @@ def _fused_spec_from_seq(op_preproc, args):
     from nightlight_tpu.pipeline import OpSave
     from nightlight_tpu.pipeline.operators import Operator
     from nightlight_tpu.pipeline.ops_pre import (
-        OpBadPixel, OpCalibrate, OpStarDetect)
+        OpBadPixel, OpBin, OpCalibrate, OpDebayer, OpScaleOffset, OpStarDetect)
     from nightlight_tpu.pipeline.ops_ref import OpExportStats
     from nightlight_tpu.pipeline.ops_stack import FusedPreprocessSpec
 
     if os.environ.get("NIGHTLIGHT_NO_FUSED"):
         return None
 
-    calibrate = bad_pixel = star_detect = None
+    calibrate = bad_pixel = star_detect = debayer = scale_offset = op_bin = None
     for op in op_preproc.steps:
         if isinstance(op, OpCalibrate) and calibrate is None:
             calibrate = op
             continue
         if isinstance(op, OpBadPixel) and bad_pixel is None:
-            # the fused program has no CFA-aware repair path
-            if getattr(op.debayer, "channel", ""):
-                return None
             bad_pixel = op
+            continue
+        if isinstance(op, OpDebayer) and debayer is None:
+            debayer = op
+            continue
+        if isinstance(op, OpScaleOffset) and scale_offset is None:
+            scale_offset = op
+            continue
+        if isinstance(op, OpBin) and op_bin is None:
+            op_bin = op
             continue
         if isinstance(op, OpStarDetect) and star_detect is None:
             save = op.save
@@ -81,11 +87,16 @@ def _fused_spec_from_seq(op_preproc, args):
         if isinstance(op, (OpExportStats, OpSave)):
             continue  # handled inside the fused executor / at the barrier
         if not op.is_noop():
-            return None
+            return None  # deband / backExtract / unknown active op
     # the fused program ALWAYS runs repair + detection, so both must be active
     if bad_pixel is None or bad_pixel.is_noop():
         return None
     if star_detect is None or star_detect.is_noop():
+        return None
+    # OpBadPixel's CFA wiring and the debayer op must agree (both derive
+    # from the same -debayer/-cfa flags in the CLI preset)
+    debayer_channel = debayer.channel if debayer is not None and not debayer.is_noop() else ""
+    if getattr(bad_pixel.debayer, "channel", "") != debayer_channel:
         return None
     # per-frame save patterns need materialized per-frame results
     for op in op_preproc.steps:
@@ -104,7 +115,12 @@ def _fused_spec_from_seq(op_preproc, args):
         star_radius=star_detect.radius, star_sig=star_detect.sigma,
         star_bp_sig=star_detect.bad_pixel_sigma,
         star_in_out=star_detect.in_out_ratio,
-        export_stats=export_stats)
+        export_stats=export_stats,
+        debayer=debayer_channel,
+        cfa=debayer.color_filter_array if debayer is not None else "RGGB",
+        pre_scale=scale_offset.scale if scale_offset is not None else 1.0,
+        pre_offset=scale_offset.offset if scale_offset is not None else 0.0,
+        binning=op_bin.bin_size if op_bin is not None and not op_bin.is_noop() else 1)
 
 
 def build_command_seq(args):

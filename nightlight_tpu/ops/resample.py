@@ -146,15 +146,23 @@ def _warp_shift_batch(frames: jax.Array, invs: jax.Array, oobs: jax.Array,
     counts are the batch maxima: a frame needing fewer shifts contributes
     zero weight on the extra slices (and lax.dynamic_slice clamps their
     starts), so sharing the bucket is exact. The input batch is DONATED --
-    XLA reuses its HBM for the output, so warping costs ~1x the batch."""
+    XLA reuses its HBM for the output, so warping costs ~1x the batch.
+
+    Frames are processed with lax.map (sequential inside the one program),
+    NOT vmap: vmapping the shift warp batch-materializes the padded source
+    copies and lifts every dynamic slice into batched while-loop temps --
+    25 GB of HLO temp at 12x16MP (93% fragmentation), an instant OOM. The
+    warp is HBM-bandwidth-bound anyway, so per-frame sequencing inside the
+    program loses nothing."""
     n, dest_h, dest_w = frames.shape
 
-    def one(img, inv, oob, kmin, mmin, flag):
+    def one(args):
+        img, inv, oob, kmin, mmin, flag = args
         w = _warp_shift_impl(img, inv, oob, kmin, mmin, dest_h, dest_w,
                              n_kshift, n_mshift)
         return jnp.where(flag, w, img)
 
-    return jax.vmap(one)(frames, invs, oobs, kmins, mmins, flags)
+    return jax.lax.map(one, (frames, invs, oobs, kmins, mmins, flags))
 
 
 def plan_batch_shift_warp(shapes, dest_naxisn, invs):

@@ -34,6 +34,14 @@ class FusedPreprocessSpec:
     star_bp_sig: float = 5.0
     star_in_out: float = 1.4
     export_stats: str | None = None
+    # OSC/color chain stages (all no-ops at these defaults): CFA-aware
+    # bad-pixel repair + single-channel debayer, pixel math, NxN binning --
+    # the reference's one-shot-color configs (debayer.go:26-263).
+    debayer: str = ""
+    cfa: str = "RGGB"
+    pre_scale: float = 1.0
+    pre_offset: float = 0.0
+    binning: int = 1
 
 
 @register

@@ -193,3 +193,33 @@ class TestHeaderParse:
         assert img.header.strings["OBJECT"] == "M42               "
         assert any("test comment" in c for c in img.header.comments)
         assert any("Something happened" in h for h in img.header.history)
+
+
+class TestChunkedFetch:
+    """utils.transfer.fetch_array: chunked async D2H must be bit-identical
+    to a plain np.asarray for any shape/dtype, including the passthroughs."""
+
+    def test_matches_plain_fetch(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nightlight_tpu.utils import transfer
+
+        rng = np.random.default_rng(0)
+        old = transfer._MIN_CHUNK_BYTES
+        transfer._MIN_CHUNK_BYTES = 1024  # force chunking on small arrays
+        try:
+            for shape, dtype in [((333, 97), np.float32), ((64, 64), np.uint16),
+                                 ((7, 11, 13), np.float32), ((4096,), np.int32)]:
+                host = (rng.uniform(0, 1000, size=shape)).astype(dtype)
+                dev = jnp.asarray(host)
+                np.testing.assert_array_equal(transfer.fetch_array(dev), host)
+            # dtype conversion path
+            host = rng.uniform(0, 1, size=(100, 50)).astype(np.float32)
+            out = transfer.fetch_array(jnp.asarray(host), dtype=np.float64)
+            assert out.dtype == np.float64
+            np.testing.assert_array_equal(out.astype(np.float32), host)
+            # numpy input passthrough
+            np.testing.assert_array_equal(transfer.fetch_array(host), host)
+        finally:
+            transfer._MIN_CHUNK_BYTES = old

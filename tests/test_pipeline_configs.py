@@ -103,6 +103,57 @@ class TestOSCDebayerStack:
         assert d.max() > 140.0
 
 
+    def test_fused_osc_matches_per_frame_path(self, tmp_path, rng, monkeypatch, capsys):
+        """The fused whole-batch executor now covers debayer + pixel math +
+        binning chains (VERDICT r2 item 3): its log lines and stacked output
+        must be identical to the per-frame operator path."""
+        for i in range(4):
+            stars = [(x + 2.0 * i, y - 1.5 * i) for (x, y) in STAR_POS]
+            lum = synth_field(rng, h=128, w=128, stars=stars, bg=100.0, noise=2.0,
+                              flux=8000.0, fwhm=8.0)
+            cfa = mosaic_from_rgb(lum, 0.6 * lum, 0.4 * lum)
+            img = Image.from_naxisn([128, 128], cfa)
+            img.exposure = 30.0
+            nlfits.write_file(img, str(tmp_path / f"osc{i:02d}.fits"))
+
+        args = ["-log", "", "-jpg", "", "-exportStats", "",
+                "-debayer", "R", "-cfa", "RGGB", "-stMode", "1",
+                "stack", "osc*.fits"]
+        rc = run_cli(["-out", "fused.fits"] + args, tmp_path)
+        assert rc == 0
+        log_fused = capsys.readouterr().out
+        assert "Removed" in log_fused and "bad bayer pixels" in log_fused
+        assert "Debayered channel R from cfa RGGB, new size 128x128" in log_fused
+
+        monkeypatch.setenv("NIGHTLIGHT_NO_FUSED", "1")
+        rc = run_cli(["-out", "perframe.fits"] + args, tmp_path)
+        assert rc == 0
+        log_pf = capsys.readouterr().out
+
+        def lines(s):
+            # drop wall-clock and path-dependent lines
+            return sorted(l for l in s.splitlines()
+                          if l.startswith(tuple(f"{i}:" for i in range(4)))
+                          and "Loaded" not in l and "statistics" not in l
+                          and "Writing" not in l)
+
+        import re
+
+        num = re.compile(r"-?\d+\.?\d*")
+        for lf, lp in zip(lines(log_fused), lines(log_pf), strict=True):
+            # same text shape; numeric tokens equal to float tolerance (the
+            # vmapped mean differs from the per-frame mean in the last
+            # printed digit by summation order)
+            assert num.sub("#", lf) == num.sub("#", lp), (lf, lp)
+            for a, b in zip(num.findall(lf), num.findall(lp), strict=True):
+                assert float(a) == pytest.approx(float(b), rel=1e-4, abs=1e-3), (lf, lp)
+        a = nlfits.read_file(str(tmp_path / "fused.fits"), to_device=False).to_numpy()
+        b = nlfits.read_file(str(tmp_path / "perframe.fits"), to_device=False).to_numpy()
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=0, atol=1e-3)
+
+
 class TestNarrowbandHubble:
     """BASELINE config #4: S2/Ha/O3 composite with hue rotation + SCNR."""
 
