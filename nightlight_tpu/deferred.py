@@ -247,5 +247,26 @@ def resolve_maybe(x):
     return x.value if isinstance(x, Deferred) else x
 
 
+class LazyChoice:
+    """Deferred-condition log fragment: renders one of two printf strings
+    depending on a device bool, at log-flush time.
+
+    Lets operators with data-dependent log text (e.g. scaleBlack's
+    "scaling black..." vs "cannot move...") stay DISPATCH-ONLY: the
+    condition and both argument sets ride the deferred pool and the choice
+    happens after the one batched fetch, so the op itself never syncs."""
+
+    def __init__(self, cond, fmt_true: str, args_true: tuple,
+                 fmt_false: str, args_false: tuple = ()):
+        self._cond = cond
+        self._true = (fmt_true, args_true)
+        self._false = (fmt_false, args_false)
+
+    def render_deferred(self) -> str:
+        fmt, args = self._true if bool(resolve_maybe(self._cond)) else self._false
+        vals = tuple(resolve_maybe(a) for a in args)
+        return fmt % vals if vals else fmt
+
+
 def is_pending(x) -> bool:
     return isinstance(x, Deferred) and not x._resolved

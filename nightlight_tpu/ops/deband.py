@@ -5,8 +5,12 @@ per-row (or column) percentile excluding pixels above location+sigma*scale,
 then a windowed median of percentiles with linear gradient extrapolation at
 the window edges, and a multiplicative per-row correction.
 
-The per-row masked percentiles run on device (one sort of the image); the
-tiny per-row window-median pass runs on the host.
+The whole pass runs on device: one masked sort of the image for the
+per-row percentiles, then the sliding window-median over all rows as one
+(rows x window) batched median with the edge-extrapolation rule applied by
+mask (the reference's per-row host loop, banding.go:96-162, vectorized).
+The original host helpers remain as the cross-check reference for
+tests/test_gauss_deband_background.py.
 """
 
 from __future__ import annotations
@@ -82,23 +86,80 @@ def _window_median_factors(percentiles: np.ndarray, window: int) -> np.ndarray:
     return factors
 
 
+def _median_axis1(a: jax.Array) -> jax.Array:
+    """Median along axis 1 (QSelectMedianFloat32 semantics: average of the
+    two middles for even counts)."""
+    s = jnp.sort(a, axis=1)
+    m = a.shape[1]
+    if m % 2 == 1:
+        return s[:, m // 2]
+    return 0.5 * (s[:, m // 2 - 1] + s[:, m // 2])
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _window_median_factors_device(percentiles: jax.Array, window: int) -> jax.Array:
+    """Vectorized window-median factors (banding.go:96-162): all rows'
+    windows as one (n, window) gather, half-window medians + the linear
+    gradient extrapolation for out-of-range entries applied by mask."""
+    n = percentiles.shape[0]
+    w = window
+    rows = jnp.arange(n)
+    start_raw = rows - (w >> 1)
+    # missing<0: left edge (|missing| entries conceptually past the end);
+    # missing>0: right edge (first `missing` entries past the start)
+    missing = jnp.where(start_raw < 0, start_raw,
+                        jnp.maximum(start_raw + w - n, 0))
+    start = jnp.clip(start_raw, 0, n - w)
+    j = jnp.arange(w)[None, :]
+    win = percentiles[start[:, None] + j]  # (n, w)
+
+    half = w // 2
+    left_med = _median_axis1(win[:, :half]) if half > 0 else win[:, 0]
+    right_med = _median_axis1(win[:, half:])
+    mean_of_medians = 0.5 * (left_med + right_med)
+    center = 0.5 * w
+    slope = (right_med - left_med) / center
+
+    m = missing[:, None].astype(jnp.float32)
+    # left edge (missing<0): replace i in [w+missing, w), offset=(i-w)-center
+    # right edge (missing>0): replace i in [0, missing), offset=(i+w)-center
+    jf = j.astype(jnp.float32)
+    replace_left = (missing[:, None] < 0) & (j >= w + missing[:, None])
+    replace_right = (missing[:, None] > 0) & (j < missing[:, None])
+    extrap_left = mean_of_medians[:, None] + slope[:, None] * ((jf - w) - center)
+    extrap_right = mean_of_medians[:, None] + slope[:, None] * ((jf + w) - center)
+    adjusted = jnp.where(replace_left, extrap_left,
+                         jnp.where(replace_right, extrap_right, win))
+    med = _median_axis1(adjusted)
+    return med / percentiles
+
+
 def deband(img: jax.Array, percentile: float, window: int, sigma: float,
-           location: float, scale: float, horizontal: bool):
+           location, scale, horizontal: bool):
     """Remove banding. Returns (corrected image, lowest factor, highest
-    factor) for log output (banding.go:61-131, 197-269)."""
-    threshold = np.float32(3.4e38)
+    factor, threshold) for log output (banding.go:61-131, 197-269).
+
+    Dispatch-only: location/scale may be device scalars and the returned
+    factor extrema / threshold are pending Deferreds; nothing synchronizes
+    here (the per-frame debanders used to pay a host round trip plus a
+    4096-iteration numpy loop per frame)."""
+    from nightlight_tpu.deferred import defer
+
     if sigma != 0:
-        threshold = np.float32(location + sigma * scale)
+        threshold = jnp.float32(location) + sigma * jnp.float32(scale)
+    else:
+        threshold = jnp.float32(3.4e38)
+    threshold_out = defer(threshold) if sigma != 0 else 3.4e38
 
     work = img if horizontal else img.T
-    percentiles = np.asarray(_row_percentiles(work, float(percentile), float(threshold)))
-    factors = _window_median_factors(percentiles, int(window))
-    lowest = float(min(1.0, factors.min()))
-    highest = float(max(0.0, factors.max()))
+    n = work.shape[0]
+    percentiles = _row_percentiles(work, jnp.float32(percentile), threshold)
+    factors = _window_median_factors_device(percentiles, min(int(window), n))
+    lowest = defer(jnp.minimum(1.0, jnp.min(factors)))
+    highest = defer(jnp.maximum(0.0, jnp.max(factors)))
 
-    f = jnp.asarray(factors)
     if horizontal:
-        out = img * f[:, None]
+        out = img * factors[:, None]
     else:
-        out = img * f[None, :]
-    return out, lowest, highest, float(threshold)
+        out = img * factors[None, :]
+    return out, lowest, highest, threshold_out

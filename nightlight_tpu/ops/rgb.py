@@ -97,6 +97,72 @@ def mean_star_intensity(cube: np.ndarray, stars, skip_bright: float, skip_dim: f
     return tuple(float(v) / total_pixels for v in total)
 
 
+def mean_star_intensity_device(cube, stars, skip_bright: float, skip_dim: float,
+                               clip):
+    """Device-side mean star color (rgb.go:223-281): per-star patch gathers
+    at a shared static radius with per-star disk/window masks, instead of
+    fetching the whole cube to the host (201 MB at 3x16MP). `clip` may be
+    device scalars. Returns a (3,) device vector, or None when no stars are
+    in range (caller falls back to zeros).
+
+    Matches the host path exactly: only pixels inside BOTH the per-star
+    integer window [c-hfr_r, c+hfr_r] and the 0.75*HFR disk count, clipped
+    pixels excluded, frame-edge pixels masked."""
+    import jax.numpy as jnp
+
+    from nightlight_tpu.detect.stars import _patches
+
+    if stars is None or len(stars) == 0:
+        return None
+    n = len(stars)
+    s_start = int(n * skip_bright)
+    s_end = n - int(n * skip_dim)
+    if s_start >= s_end:
+        return None
+    xs = np.asarray(stars.x)[s_start:s_end]
+    ys = np.asarray(stars.y)[s_start:s_end]
+    hfr = np.asarray(stars.hfr)[s_start:s_end] * 0.75
+    hfr_r = (hfr + 0.5).astype(np.int32)
+    hfr_sq = (hfr + 0.01) ** 2
+    rmax = 4
+    while rmax < int(hfr_r.max(initial=1)):
+        rmax *= 2
+    # bucket the star count so the gather compiles once per session
+    s = len(xs)
+    sb = max(64, 1 << (s - 1).bit_length())
+    pad = sb - s
+
+    def pad1(a, fill=0):
+        return np.concatenate([a, np.full(pad, fill, a.dtype)]) if pad else a
+
+    cy = jnp.asarray(pad1(ys.astype(np.int32)))
+    cx = jnp.asarray(pad1(xs.astype(np.int32)))
+    hr = jnp.asarray(pad1(hfr_r))
+    hsq = jnp.asarray(pad1(hfr_sq.astype(np.float32)))
+    real = jnp.arange(sb) < s
+
+    offs = jnp.arange(2 * rmax + 1) - rmax
+    dy = offs[None, :, None]
+    dx = offs[None, None, :]
+    # int offsets from the star center (host uses integer pixel coords)
+    window = (jnp.abs(dy) <= hr[:, None, None]) & (jnp.abs(dx) <= hr[:, None, None])
+    disk = (dx.astype(jnp.float32) ** 2 + dy.astype(jnp.float32) ** 2) \
+        <= hsq[:, None, None]
+    sel = window & disk & real[:, None, None]
+
+    chans = []
+    oks = None
+    for ch in range(3):
+        p, ok = _patches(cube[ch], cy, cx, rmax)
+        chans.append(p)
+        oks = ok if oks is None else (oks & ok)
+    r, g, b = chans
+    keep = sel & oks & (r < clip[0]) & (g < clip[1]) & (b < clip[2])
+    cnt = jnp.sum(keep)
+    sums = jnp.stack([jnp.sum(jnp.where(keep, chn, 0.0)) for chn in chans])
+    return jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1), 0.0)
+
+
 def black_white_correction(cur_shadows, cur_highlights, target_shadows: RGB,
                            target_highlights: RGB):
     """Multiplicative/additive per-channel correction keeping brightness but

@@ -11,7 +11,7 @@ from nightlight_tpu.ops import pixelmath as pm
 from nightlight_tpu.ops.stats import Stats
 from nightlight_tpu.pipeline.context import Context
 from nightlight_tpu.pipeline.operators import UnaryOperator, register
-from nightlight_tpu.pipeline.ops_stretch import stretch_iterative
+from nightlight_tpu.pipeline.ops_stretch import _dlazy, stretch_iterative
 
 
 def _lum_stats(f: Image) -> Stats:
@@ -71,12 +71,16 @@ class OpHSLNeutralizeBackground(UnaryOperator):
             return f
         c.logf("Neutralizing background values below %.4g sigma, keeping color above %.4g sigma\n",
                self.sigma_low, self.sigma_high)
+        import jax.numpy as jnp
+
         st = _lum_stats(f)
-        loc, scale = st.location, st.scale
+        loc, scale = st.device_location_scale()
+        loc = jnp.float32(loc)
+        scale = jnp.float32(scale)
         low = loc + scale * self.sigma_low
         high = loc + scale * self.sigma_high
         c.logf("Location %.2f%%, scale %.2f%%, low %.2f%% high %.2f%%\n",
-               loc * 100, scale * 100, low * 100, high * 100)
+               _dlazy(loc, 100), _dlazy(scale, 100), _dlazy(low, 100), _dlazy(high, 100))
         f.set_data(col.neutralize_background(f.data, low, high))
         return f
 
@@ -93,10 +97,13 @@ class OpHSLSaturationGamma(UnaryOperator):
             return f
         c.logf("Applying gamma %.2f to saturation for values %.4g sigma above background...\n",
                self.gamma, self.sigma)
+        import jax.numpy as jnp
+
         st = _lum_stats(f)
-        threshold = st.location + st.scale * self.sigma
+        loc, scale = st.device_location_scale()
+        threshold = jnp.float32(loc) + jnp.float32(scale) * self.sigma
         c.logf("Location %.2f%%, scale %.2f%%, threshold %.2f%%\n",
-               st.location * 100, st.scale * 100, threshold * 100)
+               _dlazy(loc, 100), _dlazy(scale, 100), _dlazy(threshold, 100))
         f.set_data(col.adjust_chroma(f.data, self.gamma, threshold))
         return f
 
@@ -130,8 +137,11 @@ class OpHSLRotateHue(UnaryOperator):
             return f
         c.logf("Rotating LCH hue angles in [%g,%g] by %.4g for lum>=loc+%g*scale...\n",
                self.from_, self.to, self.offset, self.sigma)
+        import jax.numpy as jnp
+
         st = _lum_stats(f)
-        threshold = st.location + st.scale * self.sigma
+        loc, scale = st.device_location_scale()
+        threshold = jnp.float32(loc) + jnp.float32(scale) * self.sigma
         f.set_data(col.rotate_colors(f.data, self.from_, self.to, self.offset, threshold))
         return f
 
@@ -163,12 +173,17 @@ class OpHSLMidtones(UnaryOperator):
             return f
         c.logf("Applying midtone correction with midtone=%.2f%% x scale and "
                "black=location - %.2f%% x scale\n", self.mid, self.black)
+        import jax.numpy as jnp
+
         st = _lum_stats(f)
-        loc, scale = st.location, st.scale
+        loc, scale = st.device_location_scale()
+        loc = jnp.float32(loc)
+        scale = jnp.float32(scale)
         abs_mid = self.mid * scale
         abs_black = loc - self.black * scale
         c.logf("loc %.2f%% scale %.2f%% absMid %.2f%% absBlack %.2f%%\n",
-               100 * loc, 100 * scale, 100 * abs_mid, 100 * abs_black)
+               _dlazy(loc, 100), _dlazy(scale, 100),
+               _dlazy(abs_mid, 100), _dlazy(abs_black, 100))
         _set_channel(f, 2, pm.midtones(f.data[2], abs_mid, abs_black))
         return f
 
@@ -198,11 +213,14 @@ class OpHSLGammaPP(UnaryOperator):
     def apply(self, f: Image, c: Context) -> Image:
         if self.gamma == 1.0:
             return f
+        import jax.numpy as jnp
+
         st = _lum_stats(f)
-        from_ = st.location + self.sigma * st.scale
+        loc, scale = st.device_location_scale()
+        from_ = jnp.float32(loc) + self.sigma * jnp.float32(scale)
         to = 1.0
         c.logf("Based on sigma=%.4g, boosting values in [%.2f%%, %.2f%%] with gamma %.4g...\n",
-               self.sigma, from_ * 100, to * 100, self.gamma)
+               self.sigma, _dlazy(from_, 100), to * 100, self.gamma)
         _set_channel(f, 2, pm.partial_gamma(f.data[2], from_, to, self.gamma))
         return f
 
@@ -219,15 +237,19 @@ class OpHSLUnsharpMask(UnaryOperator):
             return f
         from nightlight_tpu.ops.gauss import gaussian_kernel_1d, unsharp_mask
 
+        import jax.numpy as jnp
+
         st = _lum_stats(f)
-        abs_thresh = st.location + st.scale * self.threshold
+        loc, scale = st.device_location_scale()
+        abs_thresh = jnp.float32(loc) + jnp.float32(scale) * self.threshold
         c.logf("%d: Unsharp masking with sigma %.3g gain %.3g thresh %.3g absThresh %.3g\n",
-               f.id, self.sigma, self.gain, self.threshold, abs_thresh)
+               f.id, self.sigma, self.gain, self.threshold, _dlazy(abs_thresh))
         kernel = gaussian_kernel_1d(self.sigma)
         c.logf("%d: Unsharp masking kernel sigma %.2f size %d: %s\n",
                f.id, self.sigma, len(kernel), list(np.round(kernel, 6)))
+        vmin, vmax = st.device_min_max()
         _set_channel(f, 2, unsharp_mask(f.data[2], self.sigma, self.gain,
-                                        st.min, st.max, abs_thresh))
+                                        vmin, vmax, abs_thresh))
         return f
 
 
@@ -244,16 +266,24 @@ class OpHSLScaleBlack(UnaryOperator):
             return f
         import jax.numpy as jnp
 
+        from nightlight_tpu.deferred import LazyChoice, defer
+
         st = _lum_stats(f)
-        loc, scale = st.location, st.scale
-        c.logf("Location %.2f%% and scale %.2f%%: ", loc * 100, scale * 100)
-        target_black = float(col.mono_to_hsluv_lum(jnp.float32(self.location)))
-        if loc > target_black:
-            c.logf("scaling black to move location to HSLuv %.2f%% for linear %.2f%%...\n",
-                   target_black * 100.0, self.location * 100.0)
-            _set_channel(f, 2, pm.shift_black_to_move(f.data[2], loc, target_black))
-        else:
-            c.logf("cannot move to location %.2f%% by scaling black\n", target_black * 100.0)
+        loc, scale = st.device_location_scale()
+        loc = jnp.float32(loc)
+        c.logf("Location %.2f%% and scale %.2f%%: ",
+               _dlazy(loc, 100), _dlazy(scale, 100))
+        target_black = col.mono_to_hsluv_lum(jnp.float32(self.location))
+        movable = loc > target_black
+        c.logf("%s", LazyChoice(
+            defer(movable, conv=bool),
+            "scaling black to move location to HSLuv %.2f%% for linear %.2f%%...\n",
+            (_dlazy(target_black, 100), self.location * 100.0),
+            "cannot move to location %.2f%% by scaling black\n",
+            (_dlazy(target_black, 100),)))
+        _set_channel(f, 2, jnp.where(movable,
+                                     pm.shift_black_to_move(f.data[2], loc, target_black),
+                                     f.data[2]))
         return f
 
 

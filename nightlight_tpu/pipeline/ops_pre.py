@@ -165,8 +165,10 @@ class OpDebandHoriz(UnaryOperator):
             return f
         from nightlight_tpu.ops.deband import deband
 
-        loc = f.stats.location if self.sigma != 0 else 0.0
-        scale = f.stats.scale if self.sigma != 0 else 0.0
+        # dispatch-only: location/scale stay device scalars and the factor
+        # extrema render at the next log flush
+        loc, scale = (f.stats.device_location_scale() if self.sigma != 0
+                      else (0.0, 0.0))
         out, lo, hi, threshold = deband(f.data, self.percentile, self.window,
                                         self.sigma, loc, scale, True)
         f.set_data(out)
@@ -192,8 +194,8 @@ class OpDebandVert(UnaryOperator):
             return f
         from nightlight_tpu.ops.deband import deband
 
-        loc = f.stats.location if self.sigma != 0 else 0.0
-        scale = f.stats.scale if self.sigma != 0 else 0.0
+        loc, scale = (f.stats.device_location_scale() if self.sigma != 0
+                      else (0.0, 0.0))
         out, lo, hi, threshold = deband(f.data, self.percentile, self.window,
                                         self.sigma, loc, scale, False)
         f.set_data(out)

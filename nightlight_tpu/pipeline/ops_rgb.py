@@ -100,13 +100,23 @@ class OpRGBBalance(UnaryOperator):
         c.logf("Location is %s and loc+3 sigma is %s\n", RGB(*loc), RGB(*scaled))
         self._apply_correction(f, c, loc, scaled, shadows, highlights)
 
-        # Pass 2: darkest block + mean star color (fits/rgb.go:106-119)
+        # Pass 2: darkest block + mean star color (fits/rgb.go:106-119).
+        # Both run ON DEVICE -- the star-color pass previously fetched the
+        # whole cube to the host (201 MB at 3x16MP); the device version
+        # gathers only per-star patches, and the two 3-vectors resolve in
+        # one batched transfer.
+        from nightlight_tpu.deferred import defer
+
         stats = [Stats.for_channel(f.data, f.naxisn[0], ch, f.stats.mode) for ch in range(3)]
-        darkest = tuple(float(v) for v in np.asarray(
-            rgbops.find_darkest_block(f.data, int(self.block), float(self.border))))
-        clip = tuple(s.max * 0.9 for s in stats)
-        star_color = rgbops.mean_star_intensity(f.to_numpy(), f.stars,
-                                                self.skip_bright, self.skip_dim, clip)
+        darkest_d = defer(rgbops.find_darkest_block(
+            f.data, int(self.block), float(self.border)), conv=np.asarray)
+        clip = tuple(s.device_min_max()[1] * 0.9 for s in stats)
+        star_dev = rgbops.mean_star_intensity_device(
+            f.data, f.stars, self.skip_bright, self.skip_dim, clip)
+        star_d = defer(star_dev, conv=np.asarray) if star_dev is not None else None
+        darkest = tuple(float(v) for v in darkest_d.value)
+        star_color = (tuple(float(v) for v in star_d.value)
+                      if star_d is not None else (0.0, 0.0, 0.0))
         c.logf("Darkest block is %s and mean star color is %s\n", RGB(*darkest), RGB(*star_color))
         self._apply_correction(f, c, darkest, star_color, shadows, highlights)
         return f

@@ -12,6 +12,19 @@ from nightlight_tpu.pipeline.context import Context
 from nightlight_tpu.pipeline.operators import UnaryOperator, register
 
 
+
+def _dlazy(x, mul: float = 1.0):
+    """x*mul as a log-safe value: a pending Deferred for device scalars
+    (renders at the next log flush), else a plain float."""
+    import jax
+
+    if isinstance(x, jax.Array):
+        from nightlight_tpu.deferred import defer
+
+        return defer(x * mul)
+    return float(x) * mul
+
+
 def ideal_stretch_gamma(loc: float, scale: float, target_loc: float, target_scale: float) -> float:
     """Search gamma in [1, 5] step 0.01 for the value whose post-stretch scale
     best matches the target (stretch.go:118-140). Vectorized on the host."""
@@ -33,46 +46,68 @@ def ideal_stretch_gamma(loc: float, scale: float, target_loc: float, target_scal
     return 1.0
 
 
+class _LazyStretchReplay:
+    """Deferred render of the auto-stretch iteration log: the history array,
+    iteration count, and convergence flag stay on device until the next log
+    flush, so the stretch op itself never synchronizes."""
+
+    def __init__(self, frame_id, target_loc, hist_d, n_iter_d, converged_d):
+        self._id = frame_id
+        self._target_loc = target_loc
+        self._hist = hist_d
+        self._n = n_iter_d
+        self._conv = converged_d
+
+    def render_deferred(self) -> str:
+        import numpy as np
+
+        from nightlight_tpu.deferred import resolve_maybe
+        from nightlight_tpu.ops import autostretch as ast
+
+        hist = np.asarray(resolve_maybe(self._hist))
+        n_iter = int(resolve_maybe(self._n))
+        lines = []
+        for i in range(n_iter):
+            loc, scale, action, param = (hist[i, ast.H_LOC], hist[i, ast.H_SCALE],
+                                         hist[i, ast.H_ACTION], hist[i, ast.H_PARAM])
+            line = "%d: Linear location %.2f%% and scale %.2f%%, " % (
+                self._id, loc * 100, scale * 100)
+            if action == ast.ACT_GAMMA:
+                line += "applying gamma %.3g\n" % param
+            elif action == ast.ACT_BLACK:
+                line += "scaling black to move location to %.2f%%...\n" % (
+                    self._target_loc * 100)
+            else:
+                line += "done\n"
+            lines.append(line)
+        if not bool(resolve_maybe(self._conv)):
+            lines.append("%d: Warning: did not converge after %d iterations\n"
+                         % (self._id, 50))
+        return "".join(lines)
+
+
 def stretch_iterative(f: Image, c: Context, target_loc: float, target_scale: float,
-                      data, set_data, seed_stats=None) -> None:
+                      data, set_data) -> None:
     """Shared iterative auto-stretch (stretch.go:103-159), whole-image or
     single-channel via the `data`/`set_data` pair.
 
     The entire search loop runs ON DEVICE (ops/autostretch.py) -- up to 50
-    estimate/decide/transform rounds in one program, with the per-round
-    history read back in a single fetch. The reference's per-iteration log
-    lines are replayed from the history verbatim.
+    estimate/decide/transform rounds in one program -- and the op is
+    DISPATCH-ONLY: the per-round history resolves with the next batched log
+    flush, where the reference's per-iteration lines are replayed verbatim
+    (_LazyStretchReplay). A chain of stretch operators therefore runs as
+    back-to-back device programs with zero intermediate round trips.
     """
     import numpy as np
 
+    from nightlight_tpu.deferred import defer
     from nightlight_tpu.ops import autostretch as ast
 
     out, hist, n_iter, converged = ast.auto_stretch(data, target_loc, target_scale)
-    hist = np.asarray(hist)  # the one device fetch
-    n_iter = int(n_iter)
-    for i in range(n_iter):
-        loc, scale, action, param = (hist[i, ast.H_LOC], hist[i, ast.H_SCALE],
-                                     hist[i, ast.H_ACTION], hist[i, ast.H_PARAM])
-        c.logf("%d: Linear location %.2f%% and scale %.2f%%, ", f.id, loc * 100, scale * 100)
-        if action == ast.ACT_GAMMA:
-            c.logf("applying gamma %.3g\n", param)
-        elif action == ast.ACT_BLACK:
-            c.logf("scaling black to move location to %.2f%%...\n", target_loc * 100)
-        else:
-            c.logf("done\n")
-    if not bool(converged):
-        c.logf("%d: Warning: did not converge after %d iterations\n", f.id, 50)
+    c.logf("%s", _LazyStretchReplay(
+        f.id, target_loc, defer(hist, conv=np.asarray),
+        defer(n_iter, conv=int), defer(converged, conv=bool)))
     set_data(out)
-    if seed_stats is not None and bool(converged) and n_iter > 0:
-        # the final round applied no transform, so its statistics describe
-        # the returned data exactly: seed the caches instead of refetching
-        last = hist[n_iter - 1]
-        st = seed_stats
-        st._min, st._mean, st._max = (float(last[ast.H_MIN]),
-                                      float(last[ast.H_MEAN]), float(last[ast.H_MAX]))
-        st._have_mmm = True
-        st._location, st._scale = float(last[ast.H_LOC]), float(last[ast.H_SCALE])
-        st._have_locscale = True
 
 
 @register
@@ -85,16 +120,26 @@ class OpNormalizeRange(UnaryOperator):
     def apply(self, f: Image, c: Context) -> Image:
         if f.stats is None:
             raise ValueError("missing stats")
-        if f.stats.max - f.stats.min < 1e-8:
-            c.logf("%d: Warning: Image is of uniform intensity %.4g, skipping normalization\n",
-                   f.id, f.stats.min)
-        else:
-            c.logf("%d: Normalizing from [%.4g,%.4g] to [0,1]\n", f.id, f.stats.min, f.stats.max)
-            vmin, vmax = f.stats.min, f.stats.max
-            scale = 1.0 / (vmax - vmin)
-            f.data = pm.normalize(f.data, vmin, vmax)
-            f.stats.replace_data(f.data)
-            f.stats.update_cached_with(scale, -vmin * scale)
+        # dispatch-only: min/max stay device scalars, the uniform-intensity
+        # branch resolves at log-flush time (deferred.LazyChoice), and the
+        # transform selects on device
+        import jax.numpy as jnp
+
+        from nightlight_tpu.deferred import LazyChoice, defer
+
+        vmin, vmax = f.stats.device_min_max()
+        vmin = jnp.float32(vmin)
+        vmax = jnp.float32(vmax)
+        uniform = (vmax - vmin) < 1e-8
+        c.logf("%s\n", LazyChoice(
+            defer(uniform, conv=bool),
+            f"{f.id}: Warning: Image is of uniform intensity %.4g, skipping normalization",
+            (defer(vmin),),
+            f"{f.id}: Normalizing from [%.4g,%.4g] to [0,1]",
+            (defer(vmin), defer(vmax))))
+        vmax_safe = jnp.where(uniform, vmin + 1.0, vmax)
+        f.data = jnp.where(uniform, f.data, pm.normalize(f.data, vmin, vmax_safe))
+        f.stats.set_data(f.data)
         return f
 
 
@@ -115,8 +160,7 @@ class OpStretchIterative(UnaryOperator):
             f.data = d
             f.stats.set_data(d)
 
-        stretch_iterative(f, c, self.location, self.scale, f.data, set_data,
-                          seed_stats=f.stats)
+        stretch_iterative(f, c, self.location, self.scale, f.data, set_data)
         return f
 
 
@@ -132,11 +176,18 @@ class OpMidtones(UnaryOperator):
             return f
         c.logf("%d: Applying midtone correction with midtone=%.2f%% x scale and "
                "black=location - %.2f%% x scale\n", f.id, self.mid, self.black)
-        loc, scale = f.stats.location, f.stats.scale
+        # dispatch-only: location/scale stay on device (stats accessors
+        # would resolve the deferred pool), log values render at flush
+        import jax.numpy as jnp
+
+        loc, scale = f.stats.device_location_scale()
+        loc = jnp.float32(loc)
+        scale = jnp.float32(scale)
         abs_mid = self.mid * scale
         abs_black = loc - self.black * scale
         c.logf("%d: loc %.2f%% scale %.2f%% absMid %.2f%% absBlack %.2f%%\n",
-               f.id, 100 * loc, 100 * scale, 100 * abs_mid, 100 * abs_black)
+               f.id, _dlazy(loc, 100), _dlazy(scale, 100),
+               _dlazy(abs_mid, 100), _dlazy(abs_black, 100))
         f.data = pm.midtones(f.data, abs_mid, abs_black)
         f.stats.set_data(f.data)
         return f
@@ -168,11 +219,13 @@ class OpGammaPP(UnaryOperator):
     def apply(self, f: Image, c: Context) -> Image:
         if self.gamma == 1.0:
             return f
-        loc, scale = f.stats.location, f.stats.scale
-        from_ = loc + self.sigma * scale
+        import jax.numpy as jnp
+
+        loc, scale = f.stats.device_location_scale()
+        from_ = jnp.float32(loc) + self.sigma * jnp.float32(scale)
         to = 1.0
         c.logf("%d: Based on sigma=%.4g, boosting [%.2f%%, %.2f%%] with gamma %.4g...\n",
-               f.id, self.sigma, from_ * 100, to * 100, self.gamma)
+               f.id, self.sigma, _dlazy(from_, 100), to * 100, self.gamma)
         f.data = pm.partial_gamma(f.data, from_, to, self.gamma)
         f.stats.set_data(f.data)
         return f
@@ -188,14 +241,23 @@ class OpScaleBlack(UnaryOperator):
     def apply(self, f: Image, c: Context) -> Image:
         if self.location == 0:
             return f
-        loc, scale = f.stats.location, f.stats.scale
-        c.logf("%d: Location %.2f%% and scale %.2f%%: ", f.id, loc * 100, scale * 100)
-        if loc > self.location:
-            c.logf("scaling black to move location to %.2f%%...\n", self.location * 100.0)
-            f.data = pm.shift_black_to_move(f.data, loc, self.location)
-            f.stats.set_data(f.data)
-        else:
-            c.logf("cannot move to location %.2f%% by scaling black\n", self.location * 100.0)
+        import jax.numpy as jnp
+
+        from nightlight_tpu.deferred import LazyChoice, defer
+
+        loc, scale = f.stats.device_location_scale()
+        loc = jnp.float32(loc)
+        c.logf("%d: Location %.2f%% and scale %.2f%%: ", f.id,
+               _dlazy(loc, 100), _dlazy(scale, 100))
+        movable = loc > self.location
+        c.logf("%s", LazyChoice(
+            defer(movable, conv=bool),
+            "scaling black to move location to %.2f%%...\n", (self.location * 100.0,),
+            "cannot move to location %.2f%% by scaling black\n", (self.location * 100.0,)))
+        f.data = jnp.where(movable,
+                           pm.shift_black_to_move(f.data, loc, self.location),
+                           f.data)
+        f.stats.set_data(f.data)
         return f
 
 
@@ -230,12 +292,16 @@ class OpUnsharpMask(UnaryOperator):
             return f
         from nightlight_tpu.ops.gauss import gaussian_kernel_1d, unsharp_mask
 
-        abs_thresh = f.stats.location + f.stats.scale * self.threshold
+        import jax.numpy as jnp
+
+        loc, scale = f.stats.device_location_scale()
+        abs_thresh = jnp.float32(loc) + jnp.float32(scale) * self.threshold
         c.logf("%d: Unsharp masking with sigma %.3g gain %.3g thresh %.3g absThresh %.3g\n",
-               f.id, self.sigma, self.gain, self.threshold, abs_thresh)
+               f.id, self.sigma, self.gain, self.threshold, _dlazy(abs_thresh))
         kernel = gaussian_kernel_1d(self.sigma)
         c.logf("%d: Unsharp masking kernel sigma %.2f size %d: %s\n",
                f.id, self.sigma, len(kernel), list(np.round(kernel, 6)))
+        vmin, vmax = f.stats.device_min_max()
         f.set_data(unsharp_mask(f.data, self.sigma, self.gain,
-                                f.stats.min, f.stats.max, abs_thresh))
+                                vmin, vmax, abs_thresh))
         return f

@@ -6,14 +6,22 @@ job spec from test/parity/*.json, capture the streamed log body as
 <name>.out, and diff it against the committed golden <name>.expected.
 
 Differences from a plain `diff`:
-* numeric tokens compare within |a-b| <= max(ATOL, RTOL*max(|a|,|b|))
-  -- the sampling-based estimators and float reduction order differ
-  between backends (CPU mesh vs real TPU), flipping last printed digits;
+* INTEGER tokens (ids, pixel/star/clip counts, sizes) must match EXACTLY --
+  a count regression is a semantics regression;
+* float tokens compare within |a-b| <= max(ATOL, RTOL*max(|a|,|b|)) at
+  tight bounds (default ATOL=2e-3, RTOL=1e-3): the committed goldens are
+  CPU-deterministic, so the band only needs to absorb print rounding.
+  `--tpu` runs widen to the legacy band (kernel-vs-XLA reduction order
+  flips trailing digits and the odd clip count);
 * lines are compared as a sorted multiset -- promise materialization order
   is scheduler-dependent (the reference's goroutine logs interleave
   nondeterministically too).
 
 Everything non-numeric must match byte-for-byte.
+
+Beyond logs, each job's OUTPUT FILES are digested (<name>.digest: shape,
+NaN count, mean/std, sha256 of the pixel data rounded to 1e-3) so a numeric
+regression that keeps the log plausible still fails the harness.
 
 Usage:
   python scripts/parity.py            # run + diff against goldens
@@ -22,6 +30,7 @@ Usage:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -31,8 +40,13 @@ import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PARITY_DIR = os.path.join(REPO, "test", "parity")
-ATOL = 0.05
-RTOL = 0.02
+# CPU-deterministic goldens: tight float band, exact integers.
+ATOL = 2e-3
+RTOL = 1e-3
+# --tpu exploratory runs: legacy band, integers still compared as floats.
+TPU_ATOL = 0.05
+TPU_RTOL = 0.02
+_TPU_MODE = False
 
 _NUM_RE = re.compile(r"[-+]?\d+\.?\d*(?:[eE][-+]?\d+)?")
 
@@ -77,15 +91,70 @@ def _post_job(url: str, spec: dict) -> str:
 
 
 def _tokens_match(a: str, b: str) -> bool:
-    """Equal modulo numeric tolerance."""
+    """Equal modulo per-class numeric tolerance: integer tokens exact (CPU
+    runs), float tokens within the configured band."""
     na, nb = _NUM_RE.findall(a), _NUM_RE.findall(b)
     if _NUM_RE.sub("#", a) != _NUM_RE.sub("#", b) or len(na) != len(nb):
         return False
+    atol, rtol = (TPU_ATOL, TPU_RTOL) if _TPU_MODE else (ATOL, RTOL)
     for xa, xb in zip(na, nb):
+        int_a = "." not in xa and "e" not in xa.lower()
+        int_b = "." not in xb and "e" not in xb.lower()
+        if int_a and int_b and not _TPU_MODE:
+            if int(xa) != int(xb):
+                return False
+            continue
         fa, fb = float(xa), float(xb)
-        if abs(fa - fb) > max(ATOL, RTOL * max(abs(fa), abs(fb))):
+        if abs(fa - fb) > max(atol, rtol * max(abs(fa), abs(fb))):
             return False
     return True
+
+
+def _digest_outputs(workdir: str, fixtures: set[str]) -> dict:
+    """Numeric digest of every output file the job produced: shape, NaN
+    count, mean/std (1e-3), and a sha256 of the pixel data rounded to 1e-3.
+    Pins today's numerics against regression (committed as <name>.digest)."""
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from nightlight_tpu.io import fits as nlfits
+
+    out: dict = {}
+    for fn in sorted(os.listdir(workdir)):
+        if fn in fixtures or not fn.lower().endswith((".fits", ".fit", ".fts")):
+            continue
+        img = nlfits.read_file(os.path.join(workdir, fn), to_device=False)
+        d = np.asarray(img.data, np.float64)
+        finite = np.isfinite(d)
+        vals = d[finite]
+        q = np.round(np.nan_to_num(d, nan=-1.0), 3).astype(np.float32)
+        out[fn] = {
+            "shape": list(d.shape),
+            "nan": int(d.size - finite.sum()),
+            "mean": round(float(vals.mean()) if vals.size else 0.0, 3),
+            "std": round(float(vals.std()) if vals.size else 0.0, 3),
+            "sha256_q3": hashlib.sha256(q.tobytes()).hexdigest(),
+        }
+    return out
+
+
+def _diff_digests(got: dict, want: dict) -> list[str]:
+    problems = []
+    for fn in sorted(set(got) | set(want)):
+        g, w = got.get(fn), want.get(fn)
+        if g is None or w is None:
+            problems.append(f"digest: {fn}: {'missing output' if g is None else 'unexpected output'}")
+            continue
+        for key in ("shape", "nan"):
+            if g[key] != w[key]:
+                problems.append(f"digest: {fn}: {key} {g[key]} != {w[key]}")
+        for key in ("mean", "std"):
+            if abs(g[key] - w[key]) > max(2e-3, 1e-3 * abs(w[key])):
+                problems.append(f"digest: {fn}: {key} {g[key]} != {w[key]}")
+        if not _TPU_MODE and g["sha256_q3"] != w["sha256_q3"]:
+            problems.append(f"digest: {fn}: pixel hash changed "
+                            f"({g['sha256_q3'][:12]} != {w['sha256_q3'][:12]})")
+    return problems
 
 
 def diff_logs(got: str, want: str) -> list[str]:
@@ -106,7 +175,10 @@ def diff_logs(got: str, want: str) -> list[str]:
 
 
 def main() -> int:
+    global _TPU_MODE
+
     update = "--update" in sys.argv
+    _TPU_MODE = "--tpu" in sys.argv
     if "--tpu" not in sys.argv:
         # Deterministic CPU run by default. The environment's sitecustomize
         # imports jax at interpreter startup with the TPU backend, so the
@@ -135,6 +207,7 @@ def main() -> int:
         if not jobs:
             print("no parity jobs found in", PARITY_DIR)
             return 2
+        fixtures = set(os.listdir(workdir))
         failures = 0
         for job_file in jobs:
             name = job_file[:-5]
@@ -144,11 +217,19 @@ def main() -> int:
             out_path = os.path.join(PARITY_DIR, f"{name}.out")
             with open(out_path, "w") as fh:
                 fh.write(body)
+            digest = _digest_outputs(workdir, fixtures)
+            # remove this job's outputs so the next job's digest is its own
+            for fn in set(os.listdir(workdir)) - fixtures:
+                os.unlink(os.path.join(workdir, fn))
             golden_path = os.path.join(PARITY_DIR, f"{name}.expected")
+            digest_path = os.path.join(PARITY_DIR, f"{name}.digest")
             if update:
                 with open(golden_path, "w") as fh:
                     fh.write(body)
-                print(f"parity: {name}: golden updated ({len(body.splitlines())} lines)")
+                with open(digest_path, "w") as fh:
+                    json.dump(digest, fh, indent=1, sort_keys=True)
+                print(f"parity: {name}: golden updated ({len(body.splitlines())} lines, "
+                      f"{len(digest)} output digests)")
                 continue
             if not os.path.exists(golden_path):
                 print(f"parity: {name}: MISSING GOLDEN {golden_path}")
@@ -157,13 +238,19 @@ def main() -> int:
             with open(golden_path) as fh:
                 want = fh.read()
             problems = diff_logs(body, want)
+            if os.path.exists(digest_path):
+                with open(digest_path) as fh:
+                    problems += _diff_digests(digest, json.load(fh))
+            else:
+                problems.append(f"digest: MISSING {digest_path} (run --update)")
             if problems:
                 failures += 1
                 print(f"parity: {name}: FAIL ({len(problems)} mismatches)")
                 for p in problems[:20]:
                     print(f"  {p}")
             else:
-                print(f"parity: {name}: ok ({len(body.splitlines())} lines)")
+                print(f"parity: {name}: ok ({len(body.splitlines())} lines, "
+                      f"{len(digest)} output digests)")
         srv.shutdown()
         return 1 if failures else 0
     finally:

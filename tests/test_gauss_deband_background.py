@@ -142,3 +142,39 @@ class TestBackground:
         bg = Background(jnp.asarray(img), 16, 1.5, 0, None, 4.0)
         s = str(bg)
         assert s.startswith("Background grid 16 cells 4x4 outliers 0 range [")
+
+
+class TestDebandDeviceFactors:
+    """The vectorized device window-median must equal the original host loop
+    (banding.go:96-162 semantics) including the edge extrapolation."""
+
+    def test_matches_host_loop(self, rng):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nightlight_tpu.ops.deband import (
+            _window_median_factors, _window_median_factors_device)
+
+        for n, w in [(64, 16), (64, 15), (100, 100), (37, 8), (256, 33)]:
+            p = rng.uniform(50.0, 150.0, size=n).astype(np.float32)
+            host = _window_median_factors(p, w)
+            dev = np.asarray(_window_median_factors_device(
+                jnp.asarray(p), min(w, n)))
+            np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6,
+                                       err_msg=f"n={n} w={w}")
+
+    def test_deband_is_dispatch_only(self, rng):
+        """deband() must not synchronize: its scalar returns are pending
+        Deferreds resolved at the next pool flush."""
+        import jax.numpy as jnp
+
+        from nightlight_tpu.deferred import get_pool, is_pending
+        from nightlight_tpu.ops.deband import deband
+
+        img = jnp.asarray(rng.normal(100, 3, size=(64, 48)).astype(np.float32))
+        before = get_pool().flush_count
+        out, lo, hi, thr = deband(img, 50.0, 16, 3.0,
+                                  jnp.float32(100.0), jnp.float32(3.0), True)
+        assert get_pool().flush_count == before
+        assert is_pending(lo) and is_pending(hi) and is_pending(thr)
+        assert 0.5 < float(lo) <= 1.0 and float(hi) >= float(lo)
