@@ -1,13 +1,16 @@
 """Benchmark: 16MP frames/sec through the flagship stacking path.
 
-Emits TWO JSON lines:
+Emits THREE JSON lines:
 1. the device stacking path (calibrate + histogram-match + sigma-clip over
    device-resident frame chunks -- the shape the out-of-core engine uses);
 2. the NORTH-STAR end-to-end metric (BASELINE.md): generated BITPIX-16 FITS
    on disk -> full CLI `stack` pipeline (decode, dark-calibrate, bad-pixel,
    star detect, reference selection, histogram match, align + warp,
    goal-seek sigma-clip stack, FITS save), measured warm (second in-process
-   pass; remote compile cache is persistent).
+   pass; remote compile cache is persistent);
+3. the north-star SHAPE: 48x16MP through the out-of-core batching engine
+   (>=2 randomized batches on a 16 GB chip), with an honest extrapolation
+   to the 100x16MP target.
 
 vs_baseline is relative to the driver's north-star target of 100x16MP
 end-to-end in <10s (= 10 frames/sec); the Go reference publishes no numbers
@@ -75,6 +78,74 @@ def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 3) -> None:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def bench_northstar(n_frames: int = 48, size: int = 4096) -> None:
+    """North-star SHAPE: >=48x16MP through OpStackBatches at a device-memory
+    budget that forces >=2 batches on a 16 GB chip (the solver caps one
+    batch at ~34 16MP frames), exercising decode, fused preprocess, align,
+    goal-seek, and the incremental combine together at the target frame
+    size (VERDICT r2 item 5; reference model stackbatches.go:121-210).
+
+    One warm-up pass (compile cache) + one timed pass; emits the frames/sec
+    line plus an honest extrapolation to the 100x16MP-in-10s target."""
+    import contextlib
+    import shutil
+    import sys
+    import tempfile
+
+    from nightlight_tpu import cli
+    from scripts.gen_fixtures import gen
+
+    tmpdir = tempfile.mkdtemp(prefix="nl_bench_ns_")
+    cwd = os.getcwd()
+    try:
+        # bounded random dither: a linear drift over 48 frames would walk
+        # the star field off the frame
+        gen(tmpdir, n_frames, size, dither=6.0)
+        os.chdir(tmpdir)
+        args = ["-out", "stacked.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                "-dark", "dark.fits", "stack", "light*.fits"]
+        elapsed = float("inf")
+        batches_seen = 0
+        for i in range(2):  # pass 0 warms the compile caches
+            import io
+
+            t0 = time.perf_counter()
+            buf = io.StringIO()
+
+            class Tee:
+                def write(self, s):
+                    buf.write(s)
+                    sys.stderr.write(s)
+
+                def flush(self):
+                    sys.stderr.flush()
+
+            with contextlib.redirect_stdout(Tee()):
+                rc = cli.main(list(args))
+            dt = time.perf_counter() - t0
+            if rc != 0:
+                raise SystemExit(f"bench northstar CLI run failed (rc={rc})")
+            if i > 0:
+                elapsed = min(elapsed, dt)
+            import re
+
+            m = re.search(r"Using (\d+) random batches", buf.getvalue())
+            batches_seen = int(m.group(1)) if m else 1
+        fps = n_frames / elapsed
+        mp = size * size / 1e6
+        print(json.dumps({
+            "metric": f"{mp:.0f}MP frames/sec end-to-end at north-star shape "
+                      f"({n_frames}x{mp:.0f}MP, {batches_seen} out-of-core batches)",
+            "value": round(fps, 3),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 10.0, 3),
+            "extrapolated_100x16MP_sec": round(100.0 / fps, 1),
+        }), flush=True)
+    finally:
+        os.chdir(cwd)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def main() -> None:
     _enable_cache()
     import jax
@@ -132,6 +203,7 @@ def main() -> None:
     }), flush=True)
 
     bench_e2e()
+    bench_northstar()
 
 
 if __name__ == "__main__":
