@@ -132,10 +132,10 @@ def bench_northstar(n_frames: int = 48, size: int = 4096) -> None:
             m = re.search(r"Using (\d+) random batches", buf.getvalue())
             batches_seen = int(m.group(1)) if m else 1
         fps = n_frames / elapsed
-        mp = size * size / 1e6
+        mp = f"{size * size / 1e6:.1f}MP"
         print(json.dumps({
-            "metric": f"{mp:.0f}MP frames/sec end-to-end at north-star shape "
-                      f"({n_frames}x{mp:.0f}MP, {batches_seen} out-of-core batches)",
+            "metric": f"{mp} frames/sec end-to-end at north-star shape "
+                      f"({n_frames}x{mp}, {batches_seen} out-of-core batches)",
             "value": round(fps, 3),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 10.0, 3),

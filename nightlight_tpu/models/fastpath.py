@@ -71,7 +71,7 @@ def preprocess_batch(frames, bp_sigma_low: float = 3.0, bp_sigma_high: float = 5
     star_lists = []
     hfrs = []
     for i in range(scalars_np.shape[0]):
-        n_bad, diff_std, mn, me, mx, loc, scale, num, avg_hfr = scalars_np[i]
+        n_bad, diff_std, mn, me, mx, loc, scale, num, avg_hfr = scalars_np[i, :9]
         metas.append({
             "n_bad": int(n_bad), "median_diff_std": float(diff_std),
             "min": float(mn), "mean": float(me), "max": float(mx),
@@ -114,7 +114,9 @@ def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
                                    has_dark: bool, has_flat: bool,
                                    use_pallas_gather: bool = False,
                                    debayer_channel: str = "", cfa: str = "RGGB",
-                                   pre_scale_offset=None, bin_size: int = 1):
+                                   pre_scale_offset=None, bin_size: int = 1,
+                                   deband_h: tuple | None = None,
+                                   deband_v: tuple | None = None):
     """calibrate + badPixel + [debayer + pixel math + binning] + stats +
     starDetect for the whole batch as ONE device program (the per-frame
     semantics of OpCalibrate/OpBadPixel/OpDebayer/OpScaleOffset/OpBin/
@@ -144,6 +146,35 @@ def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
             diff_std = None
         else:
             img, n_bad, diff_std = bad_pixel_repair(img, bp_sigma_low, bp_sigma_high)
+
+        def deband_stage(im, params, horizontal):
+            """One deband pass with the per-frame-path threshold semantics:
+            sigma != 0 estimates location/scale of the CURRENT image (the
+            per-frame op reads f.stats after the preceding set_data)."""
+            from nightlight_tpu.ops.deband import deband_core
+
+            perc, window, dsigma = params
+            if dsigma != 0:
+                fl = im.reshape(-1)
+                mn_, _, mx_ = min_mean_max(fl)
+                loc_, scale_ = sigma_clipped_median_qn(
+                    fl, 2.0, 2.0, (mx_ - mn_) / 65535.0, jax.random.PRNGKey(0))
+                thr = loc_ + dsigma * scale_
+            else:
+                thr = jnp.float32(3.4e38)
+            n_ = im.shape[0] if horizontal else im.shape[1]
+            out_, lo_, hi_ = deband_core(im, perc, min(int(window), n_), thr, horizontal)
+            return out_, lo_, hi_, thr
+
+        zero = jnp.float32(0.0)
+        dbh = (zero, zero, zero)
+        dbv = (zero, zero, zero)
+        if deband_h is not None:
+            img, lo_, hi_, thr_ = deband_stage(img, deband_h, True)
+            dbh = (lo_, hi_, thr_)
+        if deband_v is not None:
+            img, lo_, hi_, thr_ = deband_stage(img, deband_v, False)
+            dbv = (lo_, hi_, thr_)
         if pre_scale_offset is not None:
             from nightlight_tpu.ops import pixelmath as pm
 
@@ -163,9 +194,11 @@ def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
         # (SCMedianQn, ops/stats.py)
         loc, scale = sigma_clipped_median_qn(
             flat_img, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
-        return img, n_bad, diff_std, mn, me, mx, loc, scale
+        return (img, n_bad, diff_std, mn, me, mx, loc, scale,
+                jnp.stack(dbh + dbv))
 
-    repaired, n_bad, diff_std, mn, me, mx, loc, scale = jax.vmap(calib_frame)(frames)
+    (repaired, n_bad, diff_std, mn, me, mx, loc, scale,
+     deband_scalars) = jax.vmap(calib_frame)(frames)
 
     def detect_frame(args):
         img, f_loc, f_scale, f_diff = args
@@ -195,13 +228,17 @@ def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
     num = num_c.reshape(-1)[:n]
     avg_hfr = hfr_c.reshape(-1)[:n]
 
-    scalars = jnp.stack([n_bad.astype(jnp.float32), diff_std, mn, me, mx,
-                         loc, scale, num.astype(jnp.float32), avg_hfr], axis=1)
+    scalars = jnp.concatenate([
+        jnp.stack([n_bad.astype(jnp.float32), diff_std, mn, me, mx,
+                   loc, scale, num.astype(jnp.float32), avg_hfr], axis=1),
+        deband_scalars,  # (N, 6): dbh lo/hi/thr, dbv lo/hi/thr (zeros when off)
+    ], axis=1)
     return repaired, scalars, stars
 
 
 _FUSED_STATICS = ("radius", "max_candidates", "has_dark", "has_flat",
-                  "use_pallas_gather", "debayer_channel", "cfa", "bin_size")
+                  "use_pallas_gather", "debayer_channel", "cfa", "bin_size",
+                  "deband_h", "deband_v")
 # Test/reference entry: caller keeps ownership of `frames`.
 _fused_stack_preprocess_device = partial(
     jax.jit, static_argnames=_FUSED_STATICS)(_fused_stack_preprocess_impl)
@@ -293,15 +330,17 @@ def run_fused_preprocess(images, c, spec) -> list:
         cfa=spec.cfa,
         pre_scale_offset=(jnp.float32(spec.pre_scale), jnp.float32(spec.pre_offset))
         if has_scale_offset else None,
-        bin_size=int(spec.binning) if spec.binning and spec.binning > 1 else 1)
+        bin_size=int(spec.binning) if spec.binning and spec.binning > 1 else 1,
+        deband_h=spec.deband_h, deband_v=spec.deband_v)
 
     # the ONE batch sync: every per-frame scalar and star list together
+    n_scalars = 15
     packed = jnp.concatenate(
         [scalars.reshape(-1), stars.reshape(-1)]).astype(jnp.float32)
     fetched = np.asarray(packed)
     n = len(images)
-    scalars_np = fetched[: n * 9].reshape(n, 9)
-    stars_np = fetched[n * 9:].reshape(n, 5, -1)
+    scalars_np = fetched[: n * n_scalars].reshape(n, n_scalars)
+    stars_np = fetched[n * n_scalars:].reshape(n, 5, -1)
 
     export_stats = None
     if spec.export_stats is not None:
@@ -311,7 +350,8 @@ def run_fused_preprocess(images, c, spec) -> list:
 
     out_h, out_w = int(repaired.shape[1]), int(repaired.shape[2])
     for i, f in enumerate(images):
-        n_bad, diff_std, mn, me, mx, loc, scale, num, avg_hfr = scalars_np[i]
+        (n_bad, diff_std, mn, me, mx, loc, scale, num, avg_hfr,
+         dbh_lo, dbh_hi, dbh_thr, dbv_lo, dbv_hi, dbv_thr) = scalars_np[i]
         orig_pixels = f.pixels  # before any debayer/bin resize
         # per-frame operator log lines, in DAG order (ops_pre.py)
         if spec.debayer:
@@ -339,6 +379,18 @@ def run_fused_preprocess(images, c, spec) -> list:
             adj_h = (shape[0] - yo) & ~1
             c.logf("%d: Debayered channel %s from cfa %s, new size %dx%d\n",
                    f.id, spec.debayer, spec.cfa, adj_w, adj_h)
+        if spec.deband_h is not None:
+            c.logf("%d: De-banded horizontally with %.3fth percentile, window %d, "
+                   "sigma %.2f, threshold %.2f, factors in [%.3f, %.3f]\n",
+                   f.id, spec.deband_h[0], int(spec.deband_h[1]), spec.deband_h[2],
+                   float(dbh_thr) if spec.deband_h[2] != 0 else 3.4e38,
+                   float(dbh_lo), float(dbh_hi))
+        if spec.deband_v is not None:
+            c.logf("%d: De-banded vertically with %.3fth percentile, window %d "
+                   "and sigma %.2f, threshold %.2f, factors in [%.3f, %.3f]\n",
+                   f.id, spec.deband_v[0], int(spec.deband_v[1]), spec.deband_v[2],
+                   float(dbv_thr) if spec.deband_v[2] != 0 else 3.4e38,
+                   float(dbv_lo), float(dbv_hi))
         if spec.pre_scale != 1 or spec.pre_offset != 0:
             c.logf("%d: Applying pixel math x = x * %.3f + %.3f%%\n",
                    f.id, spec.pre_scale, spec.pre_offset * 100)

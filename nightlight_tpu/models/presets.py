@@ -54,7 +54,8 @@ def _fused_spec_from_seq(op_preproc, args):
     from nightlight_tpu.pipeline import OpSave
     from nightlight_tpu.pipeline.operators import Operator
     from nightlight_tpu.pipeline.ops_pre import (
-        OpBadPixel, OpBin, OpCalibrate, OpDebayer, OpScaleOffset, OpStarDetect)
+        OpBadPixel, OpBin, OpCalibrate, OpDebandHoriz, OpDebandVert,
+        OpDebayer, OpScaleOffset, OpStarDetect)
     from nightlight_tpu.pipeline.ops_ref import OpExportStats
     from nightlight_tpu.pipeline.ops_stack import FusedPreprocessSpec
 
@@ -62,6 +63,7 @@ def _fused_spec_from_seq(op_preproc, args):
         return None
 
     calibrate = bad_pixel = star_detect = debayer = scale_offset = op_bin = None
+    deband_h = deband_v = None
     for op in op_preproc.steps:
         if isinstance(op, OpCalibrate) and calibrate is None:
             calibrate = op
@@ -71,6 +73,12 @@ def _fused_spec_from_seq(op_preproc, args):
             continue
         if isinstance(op, OpDebayer) and debayer is None:
             debayer = op
+            continue
+        if isinstance(op, OpDebandHoriz) and deband_h is None:
+            deband_h = op
+            continue
+        if isinstance(op, OpDebandVert) and deband_v is None:
+            deband_v = op
             continue
         if isinstance(op, OpScaleOffset) and scale_offset is None:
             scale_offset = op
@@ -120,7 +128,11 @@ def _fused_spec_from_seq(op_preproc, args):
         cfa=debayer.color_filter_array if debayer is not None else "RGGB",
         pre_scale=scale_offset.scale if scale_offset is not None else 1.0,
         pre_offset=scale_offset.offset if scale_offset is not None else 0.0,
-        binning=op_bin.bin_size if op_bin is not None and not op_bin.is_noop() else 1)
+        binning=op_bin.bin_size if op_bin is not None and not op_bin.is_noop() else 1,
+        deband_h=((deband_h.percentile, deband_h.window, deband_h.sigma)
+                  if deband_h is not None and not deband_h.is_noop() else None),
+        deband_v=((deband_v.percentile, deband_v.window, deband_v.sigma)
+                  if deband_v is not None and not deband_v.is_noop() else None))
 
 
 def build_command_seq(args):

@@ -134,6 +134,20 @@ def _window_median_factors_device(percentiles: jax.Array, window: int) -> jax.Ar
     return med / percentiles
 
 
+def deband_core(img: jax.Array, percentile, window: int, threshold,
+                horizontal: bool):
+    """Pure traced deband pass (usable inside larger jitted programs, e.g.
+    the fused batch preprocess): returns (corrected, lowest, highest) with
+    the extrema as 0-d device values."""
+    work = img if horizontal else img.T
+    percentiles = _row_percentiles(work, jnp.float32(percentile), threshold)
+    factors = _window_median_factors_device(percentiles, window)
+    lowest = jnp.minimum(1.0, jnp.min(factors))
+    highest = jnp.maximum(0.0, jnp.max(factors))
+    out = img * (factors[:, None] if horizontal else factors[None, :])
+    return out, lowest, highest
+
+
 def deband(img: jax.Array, percentile: float, window: int, sigma: float,
            location, scale, horizontal: bool):
     """Remove banding. Returns (corrected image, lowest factor, highest
@@ -151,15 +165,7 @@ def deband(img: jax.Array, percentile: float, window: int, sigma: float,
         threshold = jnp.float32(3.4e38)
     threshold_out = defer(threshold) if sigma != 0 else 3.4e38
 
-    work = img if horizontal else img.T
-    n = work.shape[0]
-    percentiles = _row_percentiles(work, jnp.float32(percentile), threshold)
-    factors = _window_median_factors_device(percentiles, min(int(window), n))
-    lowest = defer(jnp.minimum(1.0, jnp.min(factors)))
-    highest = defer(jnp.maximum(0.0, jnp.max(factors)))
-
-    if horizontal:
-        out = img * factors[:, None]
-    else:
-        out = img * factors[None, :]
-    return out, lowest, highest, threshold_out
+    n = img.shape[0] if horizontal else img.shape[1]
+    out, lowest, highest = deband_core(img, percentile, min(int(window), n),
+                                       threshold, horizontal)
+    return out, defer(lowest), defer(highest), threshold_out

@@ -42,6 +42,9 @@ class FusedPreprocessSpec:
     pre_scale: float = 1.0
     pre_offset: float = 0.0
     binning: int = 1
+    # deband stages as (percentile, window, sigma) or None (banding.go)
+    deband_h: tuple | None = None
+    deband_v: tuple | None = None
 
 
 @register

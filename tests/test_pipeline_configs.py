@@ -154,6 +154,53 @@ class TestOSCDebayerStack:
         np.testing.assert_allclose(a[m], b[m], rtol=0, atol=1e-3)
 
 
+    def test_fused_deband_matches_per_frame_path(self, tmp_path, rng, monkeypatch, capsys):
+        """Deband stages inside the fused batch program vs the per-frame
+        operators: identical logs (float tolerance) and stacked output."""
+        from tests.test_pipeline_e2e import run_cli, write_frames
+
+        write_frames(tmp_path, rng, n_frames=3)
+        args = ["-log", "", "-jpg", "", "-exportStats", "",
+                "-debandH", "50", "-debandV", "60", "-debandHWindow", "32",
+                "-stMode", "1", "stack", "light*.fits"]
+        rc = run_cli(["-out", "fused.fits"] + args, tmp_path)
+        assert rc == 0
+        log_fused = capsys.readouterr().out
+        assert "De-banded horizontally" in log_fused
+        assert "De-banded vertically" in log_fused
+
+        monkeypatch.setenv("NIGHTLIGHT_NO_FUSED", "1")
+        rc = run_cli(["-out", "perframe.fits"] + args, tmp_path)
+        assert rc == 0
+        log_pf = capsys.readouterr().out
+
+        import re
+
+        def lines(s):
+            return sorted(l for l in s.splitlines() if "De-banded" in l)
+
+        num = re.compile(r"-?\d+\.?\d*")
+        for lf, lp in zip(lines(log_fused), lines(log_pf), strict=True):
+            assert num.sub("#", lf) == num.sub("#", lp), (lf, lp)
+            # 3-decimal prints: a 1e-5 float-order difference can flip the
+            # last printed digit, so the band must exceed one print step
+            for a, b in zip(num.findall(lf), num.findall(lp), strict=True):
+                assert float(a) == pytest.approx(float(b), rel=1e-4, abs=2e-3), (lf, lp)
+        a = nlfits.read_file(str(tmp_path / "fused.fits"), to_device=False).to_numpy()
+        b = nlfits.read_file(str(tmp_path / "perframe.fits"), to_device=False).to_numpy()
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        # XLA float contraction differs between the fused and per-frame
+        # program shapes (~1e-5 relative); that nudges star centroids, the
+        # alignment transform shifts by ~1e-3 px, and steep star edges
+        # amplify it to a few counts. Background must agree tightly; star
+        # edges within the gradient-amplified band.
+        diff = np.abs(a[m] - b[m])
+        assert np.median(diff) < 1e-2     # ~1e-4 relative on the background
+        assert np.quantile(diff, 0.99) < 0.5
+        assert diff.max() < 20.0
+
+
 class TestNarrowbandHubble:
     """BASELINE config #4: S2/Ha/O3 composite with hue rotation + SCNR."""
 
