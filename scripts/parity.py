@@ -90,9 +90,21 @@ def _post_job(url: str, spec: dict) -> str:
         return resp.read().decode()
 
 
+def _print_ulp(tok: str) -> float:
+    """One unit in the last PRINTED decimal place of a plain float token
+    (0.0 for exponent notation): a true difference below the quantum can
+    still flip the last printed digit, so |printed delta| up to one quantum
+    is indistinguishable from a within-band change."""
+    if "e" in tok.lower() or "." not in tok:
+        return 0.0
+    return 10.0 ** -(len(tok) - tok.index(".") - 1)
+
+
 def _tokens_match(a: str, b: str) -> bool:
     """Equal modulo per-class numeric tolerance: integer tokens exact (CPU
-    runs), float tokens within the configured band."""
+    runs), float tokens within the configured band widened by one ULP of
+    the printed precision (print quantization: values differing by less
+    than the band can straddle a rounding boundary)."""
     na, nb = _NUM_RE.findall(a), _NUM_RE.findall(b)
     if _NUM_RE.sub("#", a) != _NUM_RE.sub("#", b) or len(na) != len(nb):
         return False
@@ -105,7 +117,8 @@ def _tokens_match(a: str, b: str) -> bool:
                 return False
             continue
         fa, fb = float(xa), float(xb)
-        if abs(fa - fb) > max(atol, rtol * max(abs(fa), abs(fb))):
+        ulp = min(_print_ulp(xa), _print_ulp(xb))
+        if abs(fa - fb) > max(atol, rtol * max(abs(fa), abs(fb))) + ulp:
             return False
     return True
 
