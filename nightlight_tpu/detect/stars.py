@@ -234,22 +234,115 @@ def _hfr(big_patch, location, radius: int):
     return hfr, mass_safe, inner_mass, pixels, inner_pixels
 
 
-@partial(jax.jit, static_argnames=("radius", "max_candidates", "use_pallas_gather"))
-def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
-                       radius: int, median_diff_std, max_candidates: int,
-                       use_pallas_gather: bool = False):
+def _candidate_values(img, threshold):
+    """Phase 1a: flat candidate map -- each 3x3 local maximum above
+    `threshold` keeps its pixel value, everything else is -inf
+    (findstars.go:105-129; the later overlap filter enforces the same
+    one-star-per-radius invariant as the reference's same-row suppression).
+    """
     h, w = img.shape
-    threshold = location + scale * star_sig
-
-    # Phase 1: local-max candidates above threshold, brightest first.
     padded = jnp.pad(img, 1, constant_values=-jnp.inf)
     neighborhood = jnp.max(
         jnp.stack([padded[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]),
         axis=0,
     )
     is_max = img >= neighborhood
-    cand_vals = jnp.where((img > threshold) & is_max, img, -jnp.inf).reshape(-1)
-    values, flat_idx = jax.lax.top_k(cand_vals, max_candidates)
+    return jnp.where((img > threshold) & is_max, img, -jnp.inf).reshape(-1)
+
+
+# Hierarchical candidate selection: one flat lax.top_k over a 16MP frame
+# costs 42.6 ms on v5e-1; a per-tile top_k (capacity _SELECT_KT each) feeding
+# a small global top_k costs 7.9 ms including the exactness guard below.
+_SELECT_TILE = 16384  # flat elements per tile (4 rows of a 4096-wide frame)
+_SELECT_KT = 32       # per-tile candidate capacity (fast path)
+_SELECT_MIN_N = 1 << 22  # below ~4M pixels the flat top_k is already cheap
+
+
+def _tiled_view(cand_vals, tiles: int):
+    n = cand_vals.shape[0]
+    pad = tiles * _SELECT_TILE - n
+    v = (jnp.pad(cand_vals, (0, pad), constant_values=-jnp.inf)
+         if pad else cand_vals)
+    return v.reshape(tiles, _SELECT_TILE)
+
+
+def _select_tiled(v, n: int, max_candidates: int):
+    """Fast branch: per-tile top_k then a global top_k over the per-tile
+    winners. Exact whenever no tile holds more than _SELECT_KT candidates
+    (the caller guards on that); candidate ORDER among equal values may
+    differ from the flat top_k's index-ascending tie-break, which is
+    immaterial -- the overlap filter keys on (mass, candidate index) and the
+    final output re-sorts by refined mass."""
+    tiles = v.shape[0]
+    tv, ti = jax.lax.top_k(v, _SELECT_KT)
+    base = (jnp.arange(tiles, dtype=ti.dtype) * _SELECT_TILE)[:, None]
+    vals, sel = jax.lax.top_k(tv.reshape(-1), max_candidates)
+    idx = (ti + base).reshape(-1)[sel]
+    # padding tail indices (value -inf, valid=False downstream) must still be
+    # in-range for the patch gathers
+    return vals, jnp.minimum(idx, n - 1)
+
+
+def _select_flat(v, n: int, max_candidates: int):
+    vals, idx = jax.lax.top_k(v.reshape(-1), max_candidates)
+    return vals, jnp.minimum(idx, n - 1)
+
+
+def _select_brightest(cand_vals, max_candidates: int):
+    """Phase 1b: brightest `max_candidates` candidates (values, flat indices).
+
+    Tiled top_k with an exact fallback: if any tile holds more than
+    _SELECT_KT candidates (dense cluster field), a lax.cond takes the flat
+    top_k instead, so the result always equals the flat selection as a SET.
+    """
+    n = cand_vals.shape[0]
+    tiles = -(-n // _SELECT_TILE)
+    if n < _SELECT_MIN_N or tiles * _SELECT_KT < 2 * max_candidates:
+        return _select_flat(cand_vals, n, max_candidates)
+    v = _tiled_view(cand_vals, tiles)
+    per_tile = jnp.sum(v > -jnp.inf, axis=1)
+    return jax.lax.cond(
+        jnp.max(per_tile) <= _SELECT_KT,
+        lambda vv: _select_tiled(vv, n, max_candidates),
+        lambda vv: _select_flat(vv, n, max_candidates),
+        v)
+
+
+def _select_brightest_batch(cand_vals, max_candidates: int):
+    """Batched selection for (B, n) candidate maps with ONE guard for the
+    whole batch. Under vmap a lax.cond degrades to both-branches-execute
+    (select), which would cost the flat top_k anyway -- so the fused
+    preprocess guards once per detection chunk and vmaps inside the branch.
+    """
+    b, n = cand_vals.shape
+    tiles = -(-n // _SELECT_TILE)
+    if n < _SELECT_MIN_N or tiles * _SELECT_KT < 2 * max_candidates:
+        return jax.vmap(lambda cv: _select_flat(cv, n, max_candidates))(cand_vals)
+    v = jax.vmap(lambda cv: _tiled_view(cv, tiles))(cand_vals)
+    per_tile = jnp.sum(v > -jnp.inf, axis=2)
+    return jax.lax.cond(
+        jnp.max(per_tile) <= _SELECT_KT,
+        jax.vmap(lambda vv: _select_tiled(vv, n, max_candidates)),
+        jax.vmap(lambda vv: _select_flat(vv, n, max_candidates)),
+        v)
+
+
+@partial(jax.jit, static_argnames=("radius", "max_candidates", "use_pallas_gather"))
+def _find_stars_device(img, location, scale, star_sig, bp_sig, star_in_out,
+                       radius: int, median_diff_std, max_candidates: int,
+                       use_pallas_gather: bool = False, candidates=None):
+    h, w = img.shape
+    threshold = location + scale * star_sig
+
+    # Phase 1: local-max candidates above threshold, brightest first.
+    # Batched callers (models/fastpath.py) pass `candidates` precomputed by
+    # _select_brightest_batch so the tiled/flat guard stays one real cond
+    # per chunk instead of a vmapped select.
+    if candidates is None:
+        cand_vals = _candidate_values(img, threshold)
+        values, flat_idx = _select_brightest(cand_vals, max_candidates)
+    else:
+        values, flat_idx = candidates
     valid = values > -jnp.inf
     cy = (flat_idx // w).astype(jnp.int32)
     cx = (flat_idx % w).astype(jnp.int32)

@@ -200,13 +200,27 @@ def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
     (repaired, n_bad, diff_std, mn, me, mx, loc, scale,
      deband_scalars) = jax.vmap(calib_frame)(frames)
 
-    def detect_frame(args):
-        img, f_loc, f_scale, f_diff = args
-        x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
-            img, f_loc, f_scale, star_sig, star_bp_sig, star_in_out,
-            radius, f_diff, max_candidates,
-            use_pallas_gather=use_pallas_gather)
-        return jnp.stack([x, y, value, mass, hfr]), num, avg_hfr
+    def detect_chunk(args):
+        """One DETECT_CHUNK slice: candidate selection batched with a single
+        tiled-vs-flat guard for the whole chunk (detect/stars.py
+        _select_brightest_batch -- a per-frame lax.cond under vmap would
+        execute both branches), then the remaining phases vmapped."""
+        imgs, f_loc, f_scale, f_diff = args
+        from nightlight_tpu.detect.stars import (_candidate_values,
+                                                 _select_brightest_batch)
+
+        cv = jax.vmap(lambda im, lo, sc: _candidate_values(
+            im, lo + sc * star_sig))(imgs, f_loc, f_scale)
+        c_vals, c_idx = _select_brightest_batch(cv, max_candidates)
+
+        def rest(img, lo, sc, dif, vals, fi):
+            x, y, value, mass, hfr, num, avg_hfr = _find_stars_device(
+                img, lo, sc, star_sig, star_bp_sig, star_in_out,
+                radius, dif, max_candidates,
+                use_pallas_gather=use_pallas_gather, candidates=(vals, fi))
+            return jnp.stack([x, y, value, mass, hfr]), num, avg_hfr
+
+        return jax.vmap(rest)(imgs, f_loc, f_scale, f_diff, c_vals, c_idx)
 
     n = frames.shape[0]
     chunk = min(DETECT_CHUNK, n)
@@ -219,7 +233,7 @@ def _fused_stack_preprocess_impl(frames, dark, flat, flat_max,
         return jnp.concatenate([v, jnp.ones(pad, v.dtype)]) if pad else v
 
     stars_c, num_c, hfr_c = jax.lax.map(
-        lambda a: jax.vmap(detect_frame)(a),
+        detect_chunk,
         (padded.reshape(-1, chunk, *repaired.shape[1:]),
          pad_vec(loc).reshape(-1, chunk),
          pad_vec(scale).reshape(-1, chunk),

@@ -139,3 +139,91 @@ class TestOverlapFilter:
         img = synth_field(rng, stars=[(60.0, 60.0), (160.0, 160.0)], flux=8000, noise=0.5)
         stars, _ = find_stars(jnp.asarray(img), 100.0, 0.5, 10.0, 0.0, 1.4, 16)
         assert len(stars) == 2
+
+
+class TestTiledCandidateSelection:
+    """The hierarchical (per-tile) top_k candidate selection vs the flat
+    lax.top_k it replaces (42.6 ms -> 7.9 ms per 16MP frame on v5e-1). The
+    tiled path must equal the flat selection as a SET whenever it is taken;
+    overflowing any tile's capacity must trigger the exact flat fallback."""
+
+    def _cand_map(self, rng, n, peaks):
+        """Flat candidate map: -inf everywhere except `peaks` (idx, value)."""
+        v = np.full(n, -np.inf, np.float32)
+        for i, val in peaks:
+            v[i] = val
+        return jnp.asarray(v)
+
+    def test_sparse_matches_flat_topk(self, rng):
+        import jax
+
+        from nightlight_tpu.detect.stars import (_SELECT_MIN_N,
+                                                 _select_brightest)
+
+        n = _SELECT_MIN_N  # smallest size that takes the tiled path
+        idx = rng.choice(n, size=1500, replace=False)
+        peaks = [(int(i), float(100 + rng.random() * 50)) for i in idx]
+        cv = self._cand_map(rng, n, peaks)
+        vals, fi = _select_brightest(cv, 2048)
+        ref_vals, ref_fi = jax.lax.top_k(cv, 2048)
+        m = np.asarray(vals) > -np.inf
+        assert m.sum() == 1500
+        assert set(np.asarray(fi)[m].tolist()) == set(
+            np.asarray(ref_fi)[np.asarray(ref_vals) > -np.inf].tolist())
+        # brightest-first like the flat top_k
+        assert np.all(np.diff(np.asarray(vals)[m]) <= 0)
+
+    def test_tile_overflow_takes_exact_fallback(self, rng):
+        import jax
+
+        from nightlight_tpu.detect.stars import (_SELECT_KT, _SELECT_MIN_N,
+                                                 _SELECT_TILE,
+                                                 _select_brightest)
+
+        n = _SELECT_MIN_N
+        # pack one tile with 3x its capacity; values descend with index so
+        # the flat top_k's selection is unambiguous
+        dense = [(_SELECT_TILE + 2 * j, float(200 - 0.01 * j))
+                 for j in range(3 * _SELECT_KT)]
+        sparse = [(int(i), 150.0) for i in
+                  rng.choice(np.arange(8 * _SELECT_TILE, n), size=100,
+                             replace=False)]
+        cv = self._cand_map(rng, n, dense + sparse)
+        vals, fi = _select_brightest(cv, 2048)
+        ref_vals, ref_fi = jax.lax.top_k(cv, 2048)
+        m = np.asarray(vals) > -np.inf
+        assert m.sum() == len(dense) + len(sparse)  # nothing dropped
+        np.testing.assert_array_equal(np.asarray(fi)[m],
+                                      np.asarray(ref_fi)[m])
+
+    def test_batch_guard_is_all_or_nothing(self, rng):
+        import jax
+
+        from nightlight_tpu.detect.stars import (_SELECT_KT, _SELECT_MIN_N,
+                                                 _SELECT_TILE,
+                                                 _select_brightest_batch)
+
+        n = _SELECT_MIN_N
+        sparse = self._cand_map(
+            rng, n, [(int(i), float(120 + rng.random()))
+                     for i in rng.choice(n, size=300, replace=False)])
+        dense = self._cand_map(
+            rng, n, [(3 * _SELECT_TILE + 2 * j, float(180 - 0.01 * j))
+                     for j in range(2 * _SELECT_KT)])
+        batch = jnp.stack([sparse, dense])
+        vals, fi = _select_brightest_batch(batch, 2048)
+        for b in range(2):
+            rv, rf = jax.lax.top_k(batch[b], 2048)
+            m = np.asarray(vals[b]) > -np.inf
+            assert set(np.asarray(fi[b])[m].tolist()) == set(
+                np.asarray(rf)[np.asarray(rv) > -np.inf].tolist())
+
+    def test_small_frames_bypass(self, rng):
+        import jax
+
+        from nightlight_tpu.detect.stars import _select_brightest
+
+        cv = self._cand_map(rng, 65536, [(7, 120.0), (40000, 130.0)])
+        vals, fi = _select_brightest(cv, 256)
+        rv, rf = jax.lax.top_k(cv, 256)
+        np.testing.assert_array_equal(np.asarray(fi)[:2], np.asarray(rf)[:2])
