@@ -163,12 +163,53 @@ def _qn_pairs_from(values: jax.Array, lo, cnt, key: jax.Array, num_samples: int)
     return jnp.abs(values[lo + i1] - values[lo + i2])
 
 
+def _qn_diffs_roll(sample: jax.Array, mask, key: jax.Array,
+                   rolls: int = 1) -> jax.Array:
+    """|s[i] - s[(i+k) mod n]| for `rolls` random shifts k of an UNSORTED
+    iid sample -- uniform random pairs of independent sample entries without
+    XLA's element-wise random-index gather, which dominated the sigma-clip
+    estimator at 2.6 ms/frame/iteration on v5e-1 (the rolls are plain
+    shifts, ~0.1 ms). Each pair (i, i+k) is two distinct iid draws, the same
+    marginal pair distribution the reference's random index pairs produce
+    (stats.go:436-447); pairs within one shift share k, which leaves the
+    quantile estimator consistent with the same O(1/sqrt(n)) noise.
+
+    `mask` selects the sample entries inside the current clip bounds (None
+    for all); a pair is valid iff both endpoints are. Invalid pairs are
+    +inf so a single sort + the valid-count quartile index drops them.
+    """
+    n = sample.shape[0]
+    shifts = jax.random.randint(key, (rolls,), 1, n)
+    parts = []
+    for r in range(rolls):
+        rolled = jnp.roll(sample, shifts[r])
+        d = jnp.abs(sample - rolled)
+        if mask is not None:
+            valid = mask & jnp.roll(mask, shifts[r])
+            d = jnp.where(valid, d, jnp.inf)
+        parts.append(d)
+    return parts[0] if rolls == 1 else jnp.concatenate(parts)
+
+
+def _first_quartile_valid(diffs: jax.Array) -> jax.Array:
+    """First quartile of the finite entries of `diffs` ((n>>2)-th element,
+    0-indexed, matching qsort.go:61-63 over the valid pairs)."""
+    sd = jnp.sort(diffs)
+    n = sd.shape[0]
+    valid = jnp.sum(jnp.isfinite(sd))
+    q = sd[jnp.clip(valid >> 2, 0, n - 1)]
+    return jnp.where(valid > 0, q, 0.0)
+
+
 @partial(jax.jit, static_argnames="num_samples")
 def fast_approx_qn(data: jax.Array, key: jax.Array, num_samples: int = NUM_SAMPLES) -> jax.Array:
     """Sampled Qn scale estimate (stats.go:436-447): first quartile of
-    absolute pairwise differences, Gaussian-normalized."""
-    flat = data.reshape(-1)
-    diffs = _qn_pairs_from(flat, 0, flat.shape[0], key, num_samples)
+    absolute pairwise differences, Gaussian-normalized. One random sample
+    plus roll-pairs (_qn_diffs_roll) replaces the reference's 2*num_samples
+    random-index gathers."""
+    k_s, k_r = jax.random.split(key)
+    s = _sample(data, k_s, num_samples)
+    diffs = _qn_diffs_roll(s, None, k_r)
     return first_quartile_sorted(jnp.sort(diffs)) * QN_SCALE
 
 
@@ -204,11 +245,11 @@ def sigma_clipped_median_qn(
         key = jax.random.PRNGKey(0)
     k_sample, k_qn0, k_loop, k_final = jax.random.split(key, 4)
 
-    ss = jnp.sort(_sample(data, k_sample, num_samples))
-    n = num_samples
+    sr = _sample(data, k_sample, num_samples)  # unsorted: roll-pairs source
+    ss = jnp.sort(sr)
 
     loc0 = median_sorted(ss)
-    scale0 = first_quartile_sorted(jnp.sort(_qn_pairs_from(ss, 0, n, k_qn0, num_samples))) * QN_SCALE
+    scale0 = first_quartile_sorted(jnp.sort(_qn_diffs_roll(sr, None, k_qn0))) * QN_SCALE
 
     def body(state):
         i, loc, scale, _ = state
@@ -220,8 +261,13 @@ def sigma_clipped_median_qn(
 
         new_loc = _median_of_sorted_range(ss, lo, cnt)
         k_iter = jax.random.fold_in(k_loop, i)
-        diffs = _qn_pairs_from(ss, lo, cnt, k_iter, num_samples)
-        new_scale = first_quartile_sorted(jnp.sort(diffs)) * QN_SCALE * CLIP_SCALE_ADJUST
+        # Qn over the clipped subset: roll-pairs on the unsorted sample with
+        # both endpoints required in-bounds (two shifts keep the valid-pair
+        # count high even under heavy clipping), instead of 2*num_samples
+        # random-index gathers per iteration -- see _qn_diffs_roll.
+        in_bounds = (sr >= lo_bound) & (sr <= hi_bound)
+        diffs = _qn_diffs_roll(sr, in_bounds, k_iter, rolls=2)
+        new_scale = _first_quartile_valid(diffs) * QN_SCALE * CLIP_SCALE_ADJUST
 
         delta = jnp.abs(new_loc - loc) + jnp.abs(new_scale - scale)
         converged = delta <= epsilon
@@ -239,7 +285,7 @@ def sigma_clipped_median_qn(
 
     # Final scale is an unbounded Qn over the sample (stats.go:492).
     final_scale = (
-        first_quartile_sorted(jnp.sort(_qn_pairs_from(ss, 0, n, k_final, num_samples))) * QN_SCALE
+        first_quartile_sorted(jnp.sort(_qn_diffs_roll(sr, None, k_final))) * QN_SCALE
     )
     return loc, final_scale
 

@@ -158,3 +158,51 @@ class TestStatsObject:
         _ = s.min
         out = str(s)
         assert out.startswith("Min ") and "Max " in out and "Mean " in out
+
+
+class TestRollPairsQn:
+    """The roll-pair Qn sampler (_qn_diffs_roll) vs the random-index-gather
+    pair sampler it replaced on the hot path: same pair distribution (two
+    distinct iid sample entries), so the quartile estimates must agree to
+    sampling noise on a known-sigma gaussian."""
+
+    def test_unbiased_vs_gather_pairs(self):
+        import jax
+
+        from nightlight_tpu.ops.stats import (NUM_SAMPLES, QN_SCALE, _sample,
+                                              _qn_diffs_roll, _qn_pairs_from,
+                                              first_quartile_sorted)
+
+        data = jax.random.normal(jax.random.PRNGKey(99), (1 << 20,)) * 2.0
+        g, r = [], []
+        for i in range(8):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(i))
+            s = _sample(data, k1, NUM_SAMPLES)
+            g.append(float(first_quartile_sorted(jnp.sort(
+                _qn_pairs_from(s, 0, NUM_SAMPLES, k2, NUM_SAMPLES))) * QN_SCALE))
+            r.append(float(first_quartile_sorted(jnp.sort(
+                _qn_diffs_roll(s, None, k2))) * QN_SCALE))
+        # each mean has se ~ 0.011/sqrt(8) ~ 0.004; 4 sigma band
+        assert abs(np.mean(g) - np.mean(r)) < 0.016
+        assert abs(np.mean(r) - 2.0) < 0.016
+
+    def test_masked_pairs_drop_clipped_endpoints(self):
+        import jax
+
+        from nightlight_tpu.ops.stats import (_first_quartile_valid,
+                                              _qn_diffs_roll)
+
+        s = jnp.asarray(np.r_[np.full(500, 5.0), np.full(500, 1000.0)],
+                        jnp.float32)
+        mask = s < 100.0  # clip the high half
+        d = _qn_diffs_roll(s, mask, jax.random.PRNGKey(0), rolls=2)
+        finite = np.asarray(d)[np.isfinite(np.asarray(d))]
+        # all valid pairs are 5-vs-5 -> diff 0; any 1000-crossing pair would
+        # show up as 995
+        assert finite.size > 0 and np.all(finite == 0.0)
+        assert float(_first_quartile_valid(d)) == 0.0
+
+    def test_quartile_all_invalid_is_zero(self):
+        from nightlight_tpu.ops.stats import _first_quartile_valid
+
+        assert float(_first_quartile_valid(jnp.full(64, jnp.inf))) == 0.0
