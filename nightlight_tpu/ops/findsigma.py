@@ -17,12 +17,51 @@ import jax.numpy as jnp
 
 from nightlight_tpu.ops import stack as stk
 
+# Pixel stride for the search-phase subsample and the minimum per-device
+# sample count (frames x pixels) before it engages. At 0.5% clip targets and
+# >= (1<<22)/16 x n_frames samples the percentage estimate's standard error
+# is well under the 0.01% rounding grid of the convergence test.
+_SEARCH_STRIDE = 16
+_SEARCH_SUBSAMPLE_MIN = 1 << 22
+
+
+def _search_subsample(frames, total):
+    """(subsampled frames, subsample total) for the search rounds; identity
+    for small inputs (keeps tests and small-image results exactly on the
+    full-resolution path)."""
+    p = frames[0].size
+    if p < _SEARCH_SUBSAMPLE_MIN:
+        return frames, total
+    flat = frames.reshape(frames.shape[0], -1)
+    sub = flat[:, ::_SEARCH_STRIDE]
+    return sub, total * (sub.size / flat.size)
+
+
+def _finalize_search(frames, weights, ref_frame_loc, mode, hist, clips, n_iter,
+                     axis_name, use_pallas):
+    """One full-resolution stack at the accepted sigmas: produces the output
+    image and the EXACT clip counts, which replace the final history entry
+    (the host-side convergence check and the 'Clipped low/high' log line
+    read that entry against the full total)."""
+    sig = hist[jnp.maximum(n_iter - 1, 0)]
+    out, cl, ch = stk.stack(frames, stk.StackMode(mode), weights=weights,
+                            sigma_low=sig[0], sigma_high=sig[1],
+                            ref_frame_loc=ref_frame_loc,
+                            use_pallas=use_pallas)
+    if axis_name is not None:
+        cl = jax.lax.psum(cl, axis_name)
+        ch = jax.lax.psum(ch, axis_name)
+    clips = clips.at[jnp.maximum(n_iter - 1, 0)].set(
+        jnp.stack([cl.astype(jnp.int32), ch.astype(jnp.int32)]))
+    return out, hist, clips, n_iter
+
 
 @partial(jax.jit, static_argnames=("mode", "max_iter", "target_l", "target_h",
-                                   "axis_name", "use_pallas"))
+                                   "axis_name", "use_pallas", "subsample"))
 def _search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
                    mode: int, max_iter: int, axis_name: str | None = None,
-                   use_pallas: bool | None = None, total=None):
+                   use_pallas: bool | None = None, total=None,
+                   subsample: bool = True):
     """The full dual binary search as ONE device program: each round is a
     complete stack evaluation (the Pallas kernel on TPU) plus the bracket
     update; the per-round history [sig_lo, sig_hi, clip_lo, clip_hi] comes
@@ -34,24 +73,32 @@ def _search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
     row-sharded frame block: per-shard clip counts psum over the mesh, so
     every shard makes IDENTICAL bracket decisions and the while_loops stay
     in lockstep. `total` is then the GLOBAL sample count (frames.size is
-    the local block here)."""
+    the local block here).
+
+    Search rounds only need clip PERCENTAGES, so at 16MP-class sizes they
+    evaluate a 1/16 strided pixel subsample (0.5% of 12.6M samples has a
+    ~0.002% standard error against the 0.01% decision grid); ONE full
+    stack at the accepted sigmas then produces the output and the exact
+    clip counts stored in the final history entry. Small inputs search at
+    full resolution, where the estimate equals the count exactly."""
     if total is None:
         total = frames.size
-    p = frames[0].size
+    sub, sub_total = (_search_subsample(frames, total) if subsample
+                      else (frames, total))
 
     def body(state):
-        lo_l, lo_r, hi_l, hi_r, out, hist, clips, i, _running = state
+        lo_l, lo_r, hi_l, hi_r, hist, clips, i, _running = state
         lo_m = 0.5 * (lo_l + lo_r)
         hi_m = 0.5 * (hi_l + hi_r)
-        out, cl, ch = stk.stack(frames, stk.StackMode(mode), weights=weights,
-                                sigma_low=lo_m, sigma_high=hi_m,
-                                ref_frame_loc=ref_frame_loc,
-                                use_pallas=use_pallas)
+        _, cl, ch = stk.stack(sub, stk.StackMode(mode), weights=weights,
+                              sigma_low=lo_m, sigma_high=hi_m,
+                              ref_frame_loc=ref_frame_loc,
+                              use_pallas=use_pallas)
         if axis_name is not None:
             cl = jax.lax.psum(cl, axis_name)
             ch = jax.lax.psum(ch, axis_name)
-        perc_l = cl.astype(jnp.float32) * 100.0 / total
-        perc_h = ch.astype(jnp.float32) * 100.0 / total
+        perc_l = cl.astype(jnp.float32) * 100.0 / sub_total
+        perc_h = ch.astype(jnp.float32) * 100.0 / sub_total
         delta_l = jnp.floor(100.0 * perc_l + 0.5).astype(jnp.int32) - target_l
         delta_h = jnp.floor(100.0 * perc_h + 0.5).astype(jnp.int32) - target_h
         hist = hist.at[i].set(jnp.stack([lo_m, hi_m]))
@@ -63,25 +110,26 @@ def _search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
         hi_l = jnp.where(delta_h > 0, hi_m, hi_l)
         hi_r = jnp.where(delta_h < 0, hi_m, hi_r)
         running = jnp.logical_not(converged) & (i < max_iter)
-        return lo_l, lo_r, hi_l, hi_r, out.reshape(-1)[:p], hist, clips, i + 1, running
+        return lo_l, lo_r, hi_l, hi_r, hist, clips, i + 1, running
 
     def cond(state):
         return state[-1]
 
     hist0 = jnp.full((max_iter + 1, 2), jnp.nan, jnp.float32)
     clips0 = jnp.zeros((max_iter + 1, 2), jnp.int32)
-    out0 = jnp.zeros((p,), jnp.float32)
     state = (jnp.float32(1.0), jnp.float32(11.0), jnp.float32(1.0), jnp.float32(11.0),
-             out0, hist0, clips0, 0, jnp.bool_(True))
-    _, _, _, _, out, hist, clips, n_iter, _ = jax.lax.while_loop(cond, body, state)
-    return out.reshape(frames.shape[1:]), hist, clips, n_iter
+             hist0, clips0, 0, jnp.bool_(True))
+    _, _, _, _, hist, clips, n_iter, _ = jax.lax.while_loop(cond, body, state)
+    return _finalize_search(frames, weights, ref_frame_loc, mode, hist, clips,
+                            n_iter, axis_name, use_pallas)
 
 
 @partial(jax.jit, static_argnames=("mode", "max_iter", "target_l", "target_h",
-                                   "axis_name", "use_pallas"))
+                                   "axis_name", "use_pallas", "subsample"))
 def _newton_search_device(frames, weights, ref_frame_loc, target_l: int, target_h: int,
                           mode: int, max_iter: int, axis_name: str | None = None,
-                          use_pallas: bool | None = None, total=None):
+                          use_pallas: bool | None = None, total=None,
+                          subsample: bool = True):
     """Newton goal-seek for linear-fit stacking, as ONE device program.
 
     The dual binary search assumes each sigma bound only moves its own clip
@@ -92,15 +140,18 @@ def _newton_search_device(frames, weights, ref_frame_loc, target_l: int, target_
     (stackfindsigma.go:101-169; its high side compares against the LOW
     target -- a dead-code slip we correct by using the high target).
     Three stack evaluations per round, all Pallas kernels on TPU.
-    Sharded-run semantics of axis_name/total as in _search_device.
+    Sharded-run semantics of axis_name/total -- and the search-phase pixel
+    subsample with an exact full-resolution finalization -- as in
+    _search_device.
     """
     if total is None:
         total = frames.size
-    p = frames[0].size
     eps = jnp.float32(0.005)
+    sub, sub_total = (_search_subsample(frames, total) if subsample
+                      else (frames, total))
 
     def clips_at(sig_lo, sig_hi):
-        out, cl, ch = stk.stack(frames, stk.StackMode(mode), weights=weights,
+        out, cl, ch = stk.stack(sub, stk.StackMode(mode), weights=weights,
                                 sigma_low=sig_lo, sigma_high=sig_hi,
                                 ref_frame_loc=ref_frame_loc,
                                 use_pallas=use_pallas)
@@ -110,10 +161,10 @@ def _newton_search_device(frames, weights, ref_frame_loc, target_l: int, target_
         return out, cl.astype(jnp.float32), ch.astype(jnp.float32)
 
     def body(state):
-        sl, sh, _out, hist, clips, i, _running = state
-        out, cl, ch = clips_at(sl, sh)
-        perc_l = cl * 100.0 / total
-        perc_h = ch * 100.0 / total
+        sl, sh, hist, clips, i, _running = state
+        _, cl, ch = clips_at(sl, sh)
+        perc_l = cl * 100.0 / sub_total
+        perc_h = ch * 100.0 / sub_total
         delta_l = perc_l - target_l / 100.0
         delta_h = perc_h - target_h / 100.0
         d_li = jnp.floor(100.0 * delta_l + 0.5).astype(jnp.int32)
@@ -125,26 +176,26 @@ def _newton_search_device(frames, weights, ref_frame_loc, target_l: int, target_
         # as one fused program either way, and the kernels are milliseconds)
         _, cl2, _ = clips_at(sl + eps, sh)
         _, _, ch3 = clips_at(sl, sh + eps)
-        d_l_diff = (cl2 - cl) * 100.0 / total / eps
-        d_h_diff = (ch3 - ch) * 100.0 / total / eps
+        d_l_diff = (cl2 - cl) * 100.0 / sub_total / eps
+        d_h_diff = (ch3 - ch) * 100.0 / sub_total / eps
         stuck = (d_l_diff == 0.0) | (d_h_diff == 0.0)
         new_sl = jnp.clip(sl - delta_l / jnp.where(d_l_diff == 0.0, 1.0, d_l_diff), 0.1, 20.0)
         new_sh = jnp.clip(sh - delta_h / jnp.where(d_h_diff == 0.0, 1.0, d_h_diff), 0.1, 20.0)
         running = jnp.logical_not(converged | stuck) & (i < max_iter)
         return (jnp.where(running, new_sl, sl), jnp.where(running, new_sh, sh),
-                out.reshape(-1)[:p], hist, clips, i + 1, running)
+                hist, clips, i + 1, running)
 
     hist0 = jnp.full((max_iter + 1, 2), jnp.nan, jnp.float32)
     clips0 = jnp.zeros((max_iter + 1, 2), jnp.int32)
-    out0 = jnp.zeros((p,), jnp.float32)
-    state = (jnp.float32(6.0), jnp.float32(6.0), out0, hist0, clips0, 0, jnp.bool_(True))
-    _, _, out, hist, clips, n_iter, _ = jax.lax.while_loop(
+    state = (jnp.float32(6.0), jnp.float32(6.0), hist0, clips0, 0, jnp.bool_(True))
+    _, _, hist, clips, n_iter, _ = jax.lax.while_loop(
         lambda s: s[-1], body, state)
-    return out.reshape(frames.shape[1:]), hist, clips, n_iter
+    return _finalize_search(frames, weights, ref_frame_loc, mode, hist, clips,
+                            n_iter, axis_name, use_pallas)
 
 
 def _sharded_search(search, frames, weights, ref_frame_loc, target_l, target_h,
-                    mode, max_iter, mesh, axis, use_pallas):
+                    mode, max_iter, mesh, axis, use_pallas, subsample=True):
     """Run a goal-seek search row-sharded over the mesh: each shard executes
     the search on its local block (Pallas kernels where enabled) with the
     clip counts psum'd, so the bracket/Newton decisions -- and thus the
@@ -157,7 +208,8 @@ def _sharded_search(search, frames, weights, ref_frame_loc, target_l, target_h,
 
     def local(fl, w):
         return search(fl, w, ref_frame_loc, target_l, target_h, mode, max_iter,
-                      axis_name=axis, use_pallas=use_pallas, total=total)
+                      axis_name=axis, use_pallas=use_pallas, total=total,
+                      subsample=subsample)
 
     out_specs = (P(axis, *([None] * (frames.ndim - 2))), P(), P(), P())
     frame_spec = P(None, axis, *([None] * (frames.ndim - 2)))
@@ -201,19 +253,31 @@ def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
 
     import numpy as np
 
-    search = (_newton_search_device if mode == stk.StackMode.LinearFit
-              else _search_device)
     total = frames.size
-    if shardable:
-        out, hist, clips, n_iter = _sharded_search(
-            search, frames, weights, jnp.float32(ref_frame_loc),
-            int(100 * clip_perc_low), int(100 * clip_perc_high),
-            int(mode), max_iter, mesh, axis, use_pallas)
-    else:
-        out, hist, clips, n_iter = search(
+
+    def run(search, subsample=True):
+        if shardable:
+            return _sharded_search(
+                search, frames, weights, jnp.float32(ref_frame_loc),
+                int(100 * clip_perc_low), int(100 * clip_perc_high),
+                int(mode), max_iter, mesh, axis, use_pallas,
+                subsample=subsample)
+        return search(
             frames, weights, jnp.float32(ref_frame_loc),
             int(100 * clip_perc_low), int(100 * clip_perc_high),
-            int(mode), max_iter, use_pallas=use_pallas)
+            int(mode), max_iter, use_pallas=use_pallas, subsample=subsample)
+
+    def final_deltas(clips, n_iter):
+        clips_host = np.asarray(clips)
+        n_it = int(n_iter)
+        cl0, ch0 = int(clips_host[n_it - 1, 0]), int(clips_host[n_it - 1, 1])
+        d_l = int(100.0 * cl0 * 100.0 / total + 0.5) - int(100 * clip_perc_low)
+        d_h = int(100.0 * ch0 * 100.0 / total + 0.5) - int(100 * clip_perc_high)
+        return d_l, d_h
+
+    search = (_newton_search_device if mode == stk.StackMode.LinearFit
+              else _search_device)
+    out, hist, clips, n_iter = run(search)
     if mode == stk.StackMode.LinearFit:
         # Newton aborts wherever the epsilon probe moves zero samples (flat
         # derivative -- e.g. no clipping at all at the 6.0 start point, the
@@ -221,24 +285,25 @@ def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
         # progress there by walking the bracket, so fall back when Newton
         # exits off-target. (Improvement over the reference's dead code,
         # which just returns the last approximation.)
-        clips_host = np.asarray(clips)
-        n_it = int(n_iter)
-        cl0, ch0 = int(clips_host[n_it - 1, 0]), int(clips_host[n_it - 1, 1])
-        d_l = int(100.0 * cl0 * 100.0 / total + 0.5) - int(100 * clip_perc_low)
-        d_h = int(100.0 * ch0 * 100.0 / total + 0.5) - int(100 * clip_perc_high)
+        d_l, d_h = final_deltas(clips, n_iter)
         if d_l != 0 or d_h != 0:
             if log:
                 log.write("Newton method off target, retrying with binary search\n")
-            if shardable:
-                out, hist, clips, n_iter = _sharded_search(
-                    _search_device, frames, weights, jnp.float32(ref_frame_loc),
-                    int(100 * clip_perc_low), int(100 * clip_perc_high),
-                    int(mode), max_iter, mesh, axis, use_pallas)
-            else:
-                out, hist, clips, n_iter = _search_device(
-                    frames, weights, jnp.float32(ref_frame_loc),
-                    int(100 * clip_perc_low), int(100 * clip_perc_high),
-                    int(mode), max_iter, use_pallas=use_pallas)
+            search = _search_device
+            out, hist, clips, n_iter = run(search)
+
+    # The subsampled search converges on estimated percentages; the exact
+    # full-resolution counts (finalization pass) can land one 0.01% grid
+    # step off when the estimate sat near a rounding boundary. Repeat the
+    # search at full resolution in that case -- the common case stays 16x
+    # cheaper, the rare miss pays one extra search.
+    if frames[0].size >= _SEARCH_SUBSAMPLE_MIN:
+        d_l, d_h = final_deltas(clips, n_iter)
+        if d_l != 0 or d_h != 0:
+            if log:
+                log.write("Subsampled goal-seek off target, "
+                          "repeating at full resolution\n")
+            out, hist, clips, n_iter = run(search, subsample=False)
     # two device fetches for the whole search: the float sigma history and
     # the int32 clip counts (NOT bitcast through float32 -- counts < 2^23
     # land on denormals, which the TPU flushes to zero in transit)

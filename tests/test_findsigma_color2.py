@@ -119,3 +119,31 @@ class TestRGBHelpers:
         sc = np.asarray(col.scale_rgb(cube, jnp.asarray([2.0, 1.0, 3.0], jnp.float32)))
         assert sc.max() <= 1.0
         np.testing.assert_allclose(sc[1], np.asarray(cube)[1], rtol=1e-6)
+
+
+class TestSearchSubsample:
+    """The search-phase pixel subsample (>= 4M pixels searches on a 1/16
+    stride, then finalizes at full resolution -- ops/findsigma.py)."""
+
+    def test_large_frame_converges_with_exact_final_counts(self, rng):
+        from nightlight_tpu.ops.findsigma import (_SEARCH_SUBSAMPLE_MIN,
+                                                  find_sigmas_and_stack)
+
+        h = w = 2048  # 4.2M pixels: smallest shape on the subsampled path
+        assert h * w >= _SEARCH_SUBSAMPLE_MIN
+        frames = jnp.asarray(
+            rng.normal(100.0, 2.0, size=(6, h, w)).astype(np.float32))
+        out, cl, ch, sig_lo, sig_hi = find_sigmas_and_stack(
+            frames, stk.StackMode.Sigma, ref_frame_loc=100.0)
+        total = frames.size
+        # converged on the subsample estimate AND the exact counts agree to
+        # the same 0.01% rounding grid
+        assert round(float(cl) * 10000.0 / total) == 50
+        assert round(float(ch) * 10000.0 / total) == 50
+        # the final counts must be EXACTLY a full-resolution stack at the
+        # returned sigmas (the finalization pass contract)
+        out2, cl2, ch2 = stk.stack(frames, stk.StackMode.Sigma,
+                                   sigma_low=sig_lo, sigma_high=sig_hi,
+                                   ref_frame_loc=100.0)
+        assert int(cl2) == int(cl) and int(ch2) == int(ch)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
