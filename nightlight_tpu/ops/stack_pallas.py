@@ -218,7 +218,7 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             return std
 
         def body(state):
-            lo, hi, running_i, result, clo, chi, it = state
+            lo, hi, running_i, result, clo, chi, prev_wstd, it = state
             running = running_i > 0
             cnt = hi - lo
             cf = jnp.maximum(cnt, 1).astype(jnp.float32)
@@ -227,7 +227,14 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             var = sumsq_range(lo, hi) / cf - mean * mean
             std = jnp.sqrt(jnp.maximum(var, 0.0))
             if winsorize:
-                std = winsor_std(lo, hi, median, std)
+                # warm start: round 0 seeds the fixed-point iteration with
+                # the plain std (reference behavior); later rounds with the
+                # previous round's converged value, which sits near the new
+                # fixed point and cuts the inner iteration count (same
+                # stopping rule, same fixed point within its 5e-4 tolerance)
+                std = winsor_std(lo, hi, median,
+                                 jnp.where(it == 0, std, prev_wstd))
+                prev_wstd = std
             low_b = median - sigma_low * std
             high_b = median + sigma_high * std
 
@@ -256,10 +263,10 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             clo = clo + below
             chi = chi + above
             return (new_lo, new_hi, (running & ~stop).astype(jnp.int32), result,
-                    clo, chi, it + 1)
+                    clo, chi, prev_wstd, it + 1)
 
         def cond(state):
-            _, _, running_i, _, _, _, it = state
+            _, _, running_i, _, _, _, _, it = state
             return jnp.logical_and(jnp.any(running_i > 0), it < n_frames + 1)
 
         lo0 = jnp.zeros((1, tile), jnp.int32)
@@ -267,8 +274,9 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
         running0 = (cnt0 > 0).astype(jnp.int32)
         result0 = jnp.zeros((1, tile), jnp.float32)
         zeros_i = jnp.zeros((1, tile), jnp.int32)
-        state = (lo0, hi0, running0, result0, zeros_i, zeros_i, 0)
-        _, _, _, result, clo, chi, _ = jax.lax.while_loop(cond, body, state)
+        state = (lo0, hi0, running0, result0, zeros_i, zeros_i,
+                 jnp.zeros((1, tile), jnp.float32), 0)
+        _, _, _, result, clo, chi, _, _ = jax.lax.while_loop(cond, body, state)
 
         out_ref[0, :] = jnp.where(cnt0 > 0, result + center, ref_loc)[0, :]
         # per-lane clip counts in VMEM (an SMEM per-tile scalar output
