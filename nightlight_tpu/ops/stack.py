@@ -210,8 +210,7 @@ def _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, wins
         converges to the same fixed point within tolerance."""
         c = jnp.maximum(hi - lo, 1)
 
-        def body(state):
-            std, _, it = state
+        def f(std):
             wlo = median - 1.5 * std
             whi = median + 1.5 * std
             # index of first value >= wlo and first value > whi within range
@@ -225,15 +224,27 @@ def _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, wins
             wsq = mid_sq + below * wlo * wlo + above * whi * whi
             m = wsum / c
             var = wsq / c - m * m
-            new_std = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
-            changed = below + above
-            factor = jnp.abs(new_std - std) / jnp.maximum(std, 1e-30)
-            done = jnp.logical_or(changed == 0, factor <= 0.0005)
-            return new_std, done, it + 1
+            return 1.134 * jnp.sqrt(jnp.maximum(var, 0.0)), below + above
+
+        def body(state):
+            # 4 plain applications per control trip, mirroring the Pallas
+            # kernel exactly (ops/stack_pallas.py winsor_std): per-pixel
+            # iterate sequence identical to the reference's, converged
+            # pixels frozen. Aitken/Steffensen acceleration basin-hops on
+            # this map (multiple fixed points from the clamp-count steps)
+            # and is deliberately not used.
+            std, done, it = state
+            for _ in range(4):
+                s1, ch = f(std)
+                fac = jnp.abs(s1 - std) / jnp.maximum(std, 1e-30)
+                new_done = done | (ch == 0) | (fac <= 0.0005)
+                std = jnp.where(done, std, s1)
+                done = new_done
+            return std, done, it + 1
 
         def cond(state):
             _, done, it = state
-            return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < 32)
+            return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < 8)
 
         std, _, _ = jax.lax.while_loop(cond, body, (std0, jnp.zeros_like(std0, bool), 0))
         return std

@@ -188,30 +188,56 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             return jnp.sum((m & p).astype(jnp.int32), axis=0, keepdims=True)
 
         def winsor_std(lo, hi, median, std0):
+            """Winsorized stddev as a Steffensen-accelerated fixed point.
+
+            The plain iteration std <- f(std) converges linearly and SIMD
+            lanes run until ALL converge, so straggler lanes used to drive
+            whole tiles to the 32-iteration cap. Each trip now applies f
+            twice and takes the Aitken extrapolation (guarded back to the
+            plain iterate when the denominator degenerates); converged
+            lanes hold their value instead of receiving further updates.
+            The stopping rule -- relative change of one application of f
+            <= 5e-4, or no samples clamped -- is unchanged, so every lane
+            settles on the same fixed point within the same tolerance."""
             c = jnp.maximum(hi - lo, 1).astype(jnp.float32)
 
-            def wbody(state):
-                std, done_i, it = state
-                done = done_i > 0
+            def f(std):
                 wlo = median - 1.5 * std
                 whi = median + 1.5 * std
                 m = range_mask(lo, hi)
                 clamped = jnp.clip(zero_rows, wlo, whi)
                 wsum = jnp.sum(jnp.where(m, clamped, 0.0), axis=0, keepdims=True)
-                wsq = jnp.sum(jnp.where(m, clamped * clamped, 0.0), axis=0, keepdims=True)
+                wsq = jnp.sum(jnp.where(m, clamped * clamped, 0.0),
+                              axis=0, keepdims=True)
                 changed = jnp.sum(
                     (m & ((svals < wlo) | ((svals > whi) & (svals < _BIG)))).astype(jnp.int32),
                     axis=0, keepdims=True)
                 mean = wsum / c
                 var = wsq / c - mean * mean
-                new_std = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
-                factor = jnp.abs(new_std - std) / jnp.maximum(std, 1e-30)
-                new_done = done | (changed == 0) | (factor <= 0.0005)
-                return new_std, new_done.astype(jnp.int32), it + 1
+                return 1.134 * jnp.sqrt(jnp.maximum(var, 0.0)), changed
+
+            def wbody(state):
+                std, done_i, it = state
+                done = done_i > 0
+                # 4 plain applications per control trip: the iterate
+                # sequence per lane is EXACTLY the reference's (a lane
+                # updates through the application where its convergence
+                # test first passes, then freezes), only the while_loop
+                # trip count shrinks 4x. Steffensen/Aitken acceleration is
+                # NOT safe here -- the clamp-count step structure gives the
+                # map multiple fixed points and extrapolation basin-hops
+                # (caught by test_stack.py::TestWinsorized::test_vs_golden).
+                for _ in range(4):
+                    s1, ch = f(std)
+                    fac = jnp.abs(s1 - std) / jnp.maximum(std, 1e-30)
+                    new_done = done | (ch == 0) | (fac <= 0.0005)
+                    std = jnp.where(done, std, s1)
+                    done = new_done
+                return std, done.astype(jnp.int32), it + 1
 
             def wcond(state):
                 _, done_i, it = state
-                return jnp.logical_and(jnp.logical_not(jnp.all(done_i > 0)), it < 32)
+                return jnp.logical_and(jnp.logical_not(jnp.all(done_i > 0)), it < 8)
 
             std, _, _ = jax.lax.while_loop(
                 wcond, wbody, (std0, jnp.zeros((1, tile), jnp.int32), 0))
