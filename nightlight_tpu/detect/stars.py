@@ -272,10 +272,14 @@ def _tiled_view(cand_vals, tiles: int):
 
 def _select_tiled(v, n: int, max_candidates: int):
     """Fast branch: per-tile top_k then a global top_k over the per-tile
-    winners. Exact whenever no tile holds more than _SELECT_KT candidates
-    (the caller guards on that); candidate ORDER among equal values may
-    differ from the flat top_k's index-ascending tie-break, which is
-    immaterial -- the overlap filter keys on (mass, candidate index) and the
+    winners. Set-exact whenever no tile holds more than _SELECT_KT
+    candidates (the caller guards on that) AND fewer than max_candidates
+    survive overall. Among EQUAL values the tie-break differs from the
+    flat top_k's index-ascending order, so when >max_candidates candidates
+    tie exactly at the capacity boundary (e.g. saturated stars clipped to
+    full scale) the kept subset can differ from the flat branch's -- an
+    arbitrary-but-valid choice either way. Candidate ORDER differences are
+    immaterial: the overlap filter keys on (mass, candidate index) and the
     final output re-sorts by refined mass."""
     tiles = v.shape[0]
     tv, ti = jax.lax.top_k(v, _SELECT_KT)

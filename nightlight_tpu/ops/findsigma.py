@@ -17,20 +17,24 @@ import jax.numpy as jnp
 
 from nightlight_tpu.ops import stack as stk
 
-# Pixel stride for the search-phase subsample and the minimum per-device
-# sample count (frames x pixels) before it engages. At 0.5% clip targets and
-# >= (1<<22)/16 x n_frames samples the percentage estimate's standard error
-# is well under the 0.01% rounding grid of the convergence test.
-_SEARCH_STRIDE = 16
+# Pixel stride for the search-phase subsample and the minimum GLOBAL sample
+# count (frames x pixels, whole image -- the host gates on it, so sharded
+# and unsharded runs of the same data make the same decision) before it
+# engages. At 0.5% clip targets and >= (1<<22)/17 x n_frames samples the
+# percentage estimate's standard error is well under the 0.01% rounding
+# grid of the convergence test. The stride is 17, NOT a power of two: image
+# widths are typically multiples of 16, and an aligned stride would sample
+# whole columns -- biased under the column banding ops/deband exists for.
+_SEARCH_STRIDE = 17
 _SEARCH_SUBSAMPLE_MIN = 1 << 22
 
 
 def _search_subsample(frames, total):
-    """(subsampled frames, subsample total) for the search rounds; identity
-    for small inputs (keeps tests and small-image results exactly on the
-    full-resolution path)."""
+    """(subsampled frames, subsample total) for the search rounds. The
+    caller decides WHETHER to subsample (global-size gate in
+    find_sigmas_and_stack); this only refuses degenerate slices."""
     p = frames[0].size
-    if p < _SEARCH_SUBSAMPLE_MIN:
+    if p < 4 * _SEARCH_STRIDE:
         return frames, total
     flat = frames.reshape(frames.shape[0], -1)
     sub = flat[:, ::_SEARCH_STRIDE]
@@ -256,6 +260,11 @@ def find_sigmas_and_stack(frames, mode: stk.StackMode, weights=None,
     total = frames.size
 
     def run(search, subsample=True):
+        # gate on the GLOBAL pixel count here (not on the per-shard block
+        # inside shard_map) so sharded and unsharded runs of the same data
+        # subsample identically and the off-target retry guard below sees
+        # the decision that was actually made
+        subsample = subsample and frames[0].size >= _SEARCH_SUBSAMPLE_MIN
         if shardable:
             return _sharded_search(
                 search, frames, weights, jnp.float32(ref_frame_loc),

@@ -250,15 +250,16 @@ def _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, wins
         return std
 
     def body(state):
-        lo, hi, running, result, clip_lo, clip_hi, prev_wstd, it = state
+        lo, hi, running, result, clip_lo, clip_hi, it = state
         c = hi - lo
         median = _median_range(svals, lo, c)
         mean = mean_range(lo, hi)
         std = std_range(lo, hi)
         if winsorize:
-            std = winsor_std(lo, hi, median,
-                             jnp.where(it == 0, std, prev_wstd))
-            prev_wstd = std
+            # plain-std seed of the CURRENT range, as in the reference and
+            # the Pallas kernel (warm-starting from the previous round can
+            # exit unwinsorized when the warm window clamps nothing)
+            std = winsor_std(lo, hi, median, std)
         low_bound = median - sigma_low * std
         high_bound = median + sigma_high * std
 
@@ -289,16 +290,14 @@ def _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, wins
 
         clip_lo = clip_lo + jnp.sum(below)
         clip_hi = clip_hi + jnp.sum(above)
-        return (new_lo, new_hi, running & ~stop, result, clip_lo, clip_hi,
-                prev_wstd, it + 1)
+        return new_lo, new_hi, running & ~stop, result, clip_lo, clip_hi, it + 1
 
     def cond(state):
-        _, _, running, _, _, _, _, it = state
+        _, _, running, _, _, _, it = state
         return jnp.logical_and(jnp.any(running), it < n + 1)
 
-    state = (lo0, hi0, running0, result0, jnp.int32(0), jnp.int32(0),
-             jnp.zeros(p, jnp.float32), 0)
-    _, _, _, result, clip_lo, clip_hi, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (lo0, hi0, running0, result0, jnp.int32(0), jnp.int32(0), 0)
+    _, _, _, result, clip_lo, clip_hi, _ = jax.lax.while_loop(cond, body, state)
     result = jnp.where(cnt0 > 0, result + center, jnp.float32(ref_frame_loc))
     return result, clip_lo, clip_hi
 

@@ -188,17 +188,15 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             return jnp.sum((m & p).astype(jnp.int32), axis=0, keepdims=True)
 
         def winsor_std(lo, hi, median, std0):
-            """Winsorized stddev as a Steffensen-accelerated fixed point.
+            """Winsorized stddev fixed point, per-pixel-faithful.
 
             The plain iteration std <- f(std) converges linearly and SIMD
-            lanes run until ALL converge, so straggler lanes used to drive
-            whole tiles to the 32-iteration cap. Each trip now applies f
-            twice and takes the Aitken extrapolation (guarded back to the
-            plain iterate when the denominator degenerates); converged
-            lanes hold their value instead of receiving further updates.
-            The stopping rule -- relative change of one application of f
-            <= 5e-4, or no samples clamped -- is unchanged, so every lane
-            settles on the same fixed point within the same tolerance."""
+            lanes run until ALL converge; converged lanes freeze at the
+            application where their stopping test first passes (exactly
+            the reference's per-pixel loop, stack.go:646-672) and four
+            applications run per while trip to cut control overhead. The
+            stopping rule -- relative change of one application <= 5e-4,
+            or no samples clamped -- is the reference's."""
             c = jnp.maximum(hi - lo, 1).astype(jnp.float32)
 
             def f(std):
@@ -244,7 +242,7 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             return std
 
         def body(state):
-            lo, hi, running_i, result, clo, chi, prev_wstd, it = state
+            lo, hi, running_i, result, clo, chi, it = state
             running = running_i > 0
             cnt = hi - lo
             cf = jnp.maximum(cnt, 1).astype(jnp.float32)
@@ -253,14 +251,13 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             var = sumsq_range(lo, hi) / cf - mean * mean
             std = jnp.sqrt(jnp.maximum(var, 0.0))
             if winsorize:
-                # warm start: round 0 seeds the fixed-point iteration with
-                # the plain std (reference behavior); later rounds with the
-                # previous round's converged value, which sits near the new
-                # fixed point and cuts the inner iteration count (same
-                # stopping rule, same fixed point within its 5e-4 tolerance)
-                std = winsor_std(lo, hi, median,
-                                 jnp.where(it == 0, std, prev_wstd))
-                prev_wstd = std
+                # Seed with the plain std of the CURRENT range, as the
+                # reference does (stack.go:646-672). Warm-starting from the
+                # previous round's converged value was tried and REVERTED:
+                # if that window clamps nothing, ch==0 exits immediately
+                # with an unwinsorized std -- the map has multiple fixed
+                # points and the start decides which one is reached.
+                std = winsor_std(lo, hi, median, std)
             low_b = median - sigma_low * std
             high_b = median + sigma_high * std
 
@@ -289,10 +286,10 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             clo = clo + below
             chi = chi + above
             return (new_lo, new_hi, (running & ~stop).astype(jnp.int32), result,
-                    clo, chi, prev_wstd, it + 1)
+                    clo, chi, it + 1)
 
         def cond(state):
-            _, _, running_i, _, _, _, _, it = state
+            _, _, running_i, _, _, _, it = state
             return jnp.logical_and(jnp.any(running_i > 0), it < n_frames + 1)
 
         lo0 = jnp.zeros((1, tile), jnp.int32)
@@ -300,9 +297,8 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
         running0 = (cnt0 > 0).astype(jnp.int32)
         result0 = jnp.zeros((1, tile), jnp.float32)
         zeros_i = jnp.zeros((1, tile), jnp.int32)
-        state = (lo0, hi0, running0, result0, zeros_i, zeros_i,
-                 jnp.zeros((1, tile), jnp.float32), 0)
-        _, _, _, result, clo, chi, _, _ = jax.lax.while_loop(cond, body, state)
+        state = (lo0, hi0, running0, result0, zeros_i, zeros_i, 0)
+        _, _, _, result, clo, chi, _ = jax.lax.while_loop(cond, body, state)
 
         out_ref[0, :] = jnp.where(cnt0 > 0, result + center, ref_loc)[0, :]
         # per-lane clip counts in VMEM (an SMEM per-tile scalar output

@@ -267,7 +267,14 @@ def sigma_clipped_median_qn(
         # random-index gathers per iteration -- see _qn_diffs_roll.
         in_bounds = (sr >= lo_bound) & (sr <= hi_bound)
         diffs = _qn_diffs_roll(sr, in_bounds, k_iter, rolls=2)
-        new_scale = _first_quartile_valid(diffs) * QN_SCALE * CLIP_SCALE_ADJUST
+        sd = jnp.sort(diffs)
+        n_valid = jnp.sum(jnp.isfinite(sd))
+        q = sd[jnp.clip(n_valid >> 2, 0, sd.shape[0] - 1)]
+        # no valid pair (heavy clipping left <2 in-bounds samples at the
+        # roll distances): keep the previous scale instead of collapsing
+        # the window to a point
+        new_scale = jnp.where(n_valid > 0,
+                              q * QN_SCALE * CLIP_SCALE_ADJUST, scale)
 
         delta = jnp.abs(new_loc - loc) + jnp.abs(new_scale - scale)
         converged = delta <= epsilon
