@@ -46,7 +46,13 @@ def _finalize_search(frames, weights, ref_frame_loc, mode, hist, clips, n_iter,
     """One full-resolution stack at the accepted sigmas: produces the output
     image and the EXACT clip counts, which replace the final history entry
     (the host-side convergence check and the 'Clipped low/high' log line
-    read that entry against the full total)."""
+    read that entry against the full total).
+
+    When the search itself ran at full resolution this re-evaluates the
+    final round's stack once more -- accepted: it keeps the search loops
+    free of a carried (p,)-sized output either way, and the paths that
+    search full-res are small images (an extra eval is sub-ms) or the rare
+    off-target retry."""
     sig = hist[jnp.maximum(n_iter - 1, 0)]
     out, cl, ch = stk.stack(frames, stk.StackMode(mode), weights=weights,
                             sigma_low=sig[0], sigma_high=sig[1],
