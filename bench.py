@@ -182,20 +182,30 @@ def main() -> None:
                    jnp.float32(2.75), jnp.float32(2.75))
         return out
 
+    import numpy as np
+
+    def run_pass():
+        """One full pass; the clock stops at a REAL scalar fetch that
+        depends on every chunk's outputs. block_until_ready on the last
+        program is NOT a completion barrier on this backend -- it was
+        measured returning after 7 ms while earlier chunks still had
+        ~200 ms of execution in flight, which inflated rounds 1-2 of this
+        metric 35-70x (6,900-12,768 "f/s"); see BASELINE.md round-3."""
+        t0 = time.perf_counter()
+        outs = [run_chunk(i) for i in range(n_chunks)]
+        total = sum(o[1] + o[2] for o in outs)
+        float(np.asarray(total))
+        return time.perf_counter() - t0
+
     # Warm-up / compile
-    run_chunk(0)[0].block_until_ready()
+    run_pass()
 
     # Best of several passes: the remote-device tunnel injects occasional
     # ~0.5-1s stalls (BASELINE.md) that would otherwise poison a single
     # measurement by 2-3x.
     elapsed = float("inf")
     for _ in range(10):
-        t0 = time.perf_counter()
-        outs = []
-        for i in range(n_chunks):
-            outs.append(run_chunk(i))
-        outs[-1][0].block_until_ready()
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        elapsed = min(elapsed, run_pass())
 
     frames_per_sec = n_frames / elapsed
     target = 10.0  # 100 x 16MP in <10s (BASELINE.md)
