@@ -110,6 +110,28 @@ class TestMosaicVsXLA:
         assert abs(100.0 * ch / total - 0.5) < 0.25
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_goal_seek_subsampled_exact_counts_on_chip(self, tpu_cache):
+        """The >=4M-pixel goal-seek path (1/17 subsampled search rounds +
+        full-resolution finalization, ops/findsigma.py) on the real chip:
+        the returned clip counts must be EXACTLY those of a direct stack at
+        the returned sigmas."""
+        import jax.numpy as jnp
+        from nightlight_tpu.ops import stack as stk
+        from nightlight_tpu.ops.findsigma import (_SEARCH_SUBSAMPLE_MIN,
+                                                  find_sigmas_and_stack)
+
+        rng = np.random.default_rng(7)
+        h, w = 2048, 2048
+        assert h * w >= _SEARCH_SUBSAMPLE_MIN
+        f = jnp.asarray(rng.normal(1000.0, 10.0, size=(6, h, w)).astype(np.float32))
+        out, cl, ch, slo, shi = find_sigmas_and_stack(
+            f, stk.StackMode.Sigma, ref_frame_loc=1000.0,
+            clip_perc_low=0.5, clip_perc_high=0.5)
+        out2, cl2, ch2 = stk.stack(f, stk.StackMode.Sigma, sigma_low=slo,
+                                   sigma_high=shi, ref_frame_loc=1000.0)
+        assert int(cl2) == int(cl) and int(ch2) == int(ch)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
 
     def test_sharded_kernel_single_device_mesh(self, jnp_frames):
         """stack_sharded (shard_map + psum'd clip counters) compiling the
