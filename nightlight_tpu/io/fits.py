@@ -212,6 +212,59 @@ def _read_payload(img: Image, f: BinaryIO, pixels: int, log, to_device: bool) ->
     return img
 
 
+def read_raw(file_name: str, id: int = 0, log=None):
+    """Header parse + UNDECODED integer payload, for the bulk-upload ingest
+    path (io/ingest.BulkUploader).
+
+    Returns ``(img, raw)``: when the payload is device-decodable (BITPIX
+    8/16 — the same set as the read_file device fast path) ``raw`` is the
+    big-endian payload bytes and ``img.data`` is unset; otherwise the image
+    is fully decoded through the normal path and ``raw`` is None. Header
+    semantics identical to read_file (read.go:94-142)."""
+    lower = file_name.lower()
+    if lower.endswith((".tif", ".tiff")):
+        from nightlight_tpu.io.tiff import read_tiff
+
+        return read_tiff(file_name, id=id, to_device=True), None
+    img = Image(id=id, file_name=file_name)
+    opener = gzip.open if lower.endswith((".gz", ".gzip")) else open
+    with opener(file_name, "rb") as f:
+        read(img, f, read_data=False, log=log)
+        pixels = 1
+        for n in img.naxisn:
+            pixels *= n
+        if img.bitpix not in (8, 16):
+            _read_payload(img, f, pixels, log, to_device=True)
+            return img, None
+        dtype = _BITPIX_DTYPES[img.bitpix]
+        raw = f.read(pixels * dtype.itemsize)
+        if len(raw) < pixels * dtype.itemsize:
+            raise ValueError(f"{id}: unexpected EOF in FITS data")
+    return img, raw
+
+
+@partial(jax.jit, static_argnames=("bitpix", "shape"))
+def _device_int_decode_batch(v, bitpix: int, shape: tuple, bscale, bzero):
+    """Byteswap + per-frame bscale/bzero fold-in for a PACKED (G, pixels)
+    integer payload batch; returns (G, *shape) float32. The grouped-upload
+    analog of _device_int_decode (read.go:205 math per frame)."""
+    if bitpix == 16:
+        swapped = ((v << 8) | (v >> 8)).astype(jnp.uint16)
+        ints = jax.lax.bitcast_convert_type(swapped, jnp.int16)
+    else:
+        ints = v  # uint8 has no byte order
+    out = ints.astype(jnp.float32) * bscale[:, None] + bzero[:, None]
+    return out.reshape((v.shape[0],) + shape)
+
+
+@jax.jit
+def _index_frame(batch, j):
+    """One frame out of a decoded (G, H, W) batch; the traced index keeps
+    this a single compiled program for every j (remote compiles are
+    expensive, CLAUDE.md)."""
+    return jax.lax.dynamic_index_in_dim(batch, j, axis=0, keepdims=False)
+
+
 @partial(jax.jit, static_argnames=("bitpix",))
 def _device_int_decode(v, bitpix: int, bscale, bzero):
     if bitpix == 16:

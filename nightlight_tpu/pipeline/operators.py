@@ -207,14 +207,24 @@ class OpLoad(Operator):
         if ins:
             raise ValueError(f"{self.TYPE} operator with non-zero input")
         _check_path(self.file_name)
-        return [lambda: self.apply(None, c)]
+
+        def promise():
+            return self.apply(None, c)
+
+        # batch schedulers discover load order through this (ops_stack.py
+        # announces each out-of-core batch to the bulk-ingest loader)
+        promise.op = self
+        return [promise]
 
     def apply(self, _unused, c: Context) -> Image:
         import jax.numpy as jnp
 
         if self._prefetcher is not None:
-            # prefetched images were decoded host-side on numpy-only threads;
-            # upload on the consuming thread (the one device-access thread)
+            # prefetched images were decoded host-side on numpy-only threads
+            # (_DecodePrefetcher) or arrive device-resident from a grouped
+            # upload (io.ingest.BulkUploader); jnp.asarray is a no-op for the
+            # latter. Upload happens on the consuming thread (the one
+            # device-access thread).
             f = self._prefetcher.get(self.file_name)
             f.data = jnp.asarray(f.data)
         else:
@@ -273,8 +283,18 @@ class _DecodePrefetcher:
         # Bounded lookahead so decode-ahead cannot buffer an out-of-core run's
         # entire input set in host RAM.
         self._slots = threading.BoundedSemaphore(lookahead)
+        self._ids = {}
+        # claim protocol: the consumer may decode a frame inline when no
+        # worker has started it yet — the queue decodes in spec order while
+        # OpStackBatches consumes in PERMUTED batch order, so blocking on
+        # the done-event alone can deadlock once the lookahead slots fill
+        # with frames of later batches.
+        self._lock = threading.Lock()
+        self._started: set[str] = set()
+        self._held: set[str] = set()  # results occupying a lookahead slot
         for id_, name in specs:
             self._done[name] = threading.Event()
+            self._ids[name] = id_
             self._queue.put((id_, name))
         self._log = log
         self._threads = [
@@ -283,29 +303,57 @@ class _DecodePrefetcher:
         for t in self._threads:
             t.start()
 
+    def _decode(self, id_, name, hold_slot: bool):
+        from nightlight_tpu.io.fits import read_file
+
+        try:
+            img = read_file(name, id=id_, log=self._log, to_device=False)
+            self._results[name] = img
+            if hold_slot:
+                # record BEFORE done.set() so get() cannot miss the flag
+                self._held.add(name)
+        except BaseException as e:  # noqa: BLE001 - handed to the consumer
+            self._errors[name] = e
+            if hold_slot:
+                self._slots.release()  # no result occupies the slot
+        self._done[name].set()
+
     def _worker(self):
         import queue as queue_mod
-
-        from nightlight_tpu.io.fits import read_file
 
         while True:
             try:
                 id_, name = self._queue.get_nowait()
             except queue_mod.Empty:
                 return
+            # acquire the slot BEFORE claiming: a worker blocked on a full
+            # lookahead window must leave the frame claimable, or a consumer
+            # arriving out of spec order deadlocks against results it has
+            # not reached yet
             self._slots.acquire()
-            try:
-                self._results[name] = read_file(name, id=id_, log=self._log, to_device=False)
-            except BaseException as e:  # noqa: BLE001 - handed to the consumer
-                self._errors[name] = e
-            self._done[name].set()
+            with self._lock:
+                if name in self._started:
+                    self._slots.release()  # consumer claimed it inline
+                    continue
+                self._started.add(name)
+            self._decode(id_, name, hold_slot=True)
 
     def get(self, name: str):
+        with self._lock:
+            claim = name not in self._started
+            if claim:
+                self._started.add(name)
+        if claim and not self._done[name].is_set():
+            # no worker has begun this frame: decode it on this thread
+            # without waiting for (or occupying) a lookahead slot
+            self._decode(self._ids[name], name, hold_slot=False)
         self._done[name].wait()
         if name in self._errors:
             raise self._errors[name]
         img = self._results.pop(name)
-        self._slots.release()
+        if name in self._held:
+            self._held.discard(name)
+            self._slots.release()
         return img
 
 
@@ -329,11 +377,17 @@ class OpLoadMany(Operator):
         if not specs:
             raise ValueError(
                 f"{self.TYPE} operator with no files to load from pattern {self.file_patterns}")
-        # One shared host-side decode pipeline across the load promises.
-        # Only profitable with spare cores: on a single-CPU host the decode
+        # Small integer frames: grouped uploads (one transfer per ~32MB of
+        # frames) beat per-frame device_put by the fixed per-transfer round
+        # trip (io/ingest.BulkUploader; no threads — device access stays on
+        # the consuming thread).
+        from nightlight_tpu.io.ingest import BulkUploader
+
+        prefetcher = BulkUploader.try_create(specs, c.log)
+        # Else a host-side decode pipeline across the load promises. Only
+        # profitable with spare cores: on a single-CPU host the decode
         # threads contend with the consuming thread and slow the run down.
-        prefetcher = None
-        if len(specs) > 1 and (os.cpu_count() or 1) > 1:
+        if prefetcher is None and len(specs) > 1 and (os.cpu_count() or 1) > 1:
             prefetcher = _DecodePrefetcher(specs, c.log)
         outs: list[Promise] = []
         for id_, match in specs:

@@ -260,10 +260,26 @@ class OpStackBatches(Operator):
             stack_img.set_data(stk.stack_incremental_finalize(stack_acc, float(stack_frames)))
         return stack_img
 
+    @staticmethod
+    def _announce_batch(batch) -> None:
+        """Tell a shared bulk-ingest loader this batch's load order so
+        upload grouping follows batch membership — an out-of-core run must
+        not upload other batches' frames (io/ingest.BulkUploader)."""
+        names, loader = [], None
+        for p in batch:
+            op = getattr(p, "op", None)
+            fn = getattr(op, "file_name", None)
+            if fn:
+                names.append(fn)
+                loader = getattr(op, "_prefetcher", None) or loader
+        if names and hasattr(loader, "reorder"):
+            loader.reorder(names)
+
     def _batch_promises(self, batch, c: Context):
         """Promise chain for one batch: the fused whole-batch executor when
         eligible (one device program + one sync for calibrate/badPixel/
         starDetect, models/fastpath.py), else the general per-frame DAG."""
+        self._announce_batch(batch)
         if self.fused_spec is None or not self.per_batch.steps:
             return self.per_batch.make_promises(batch, c)
 
