@@ -25,6 +25,56 @@ def frames_with_nans(rng, n=12, p=3000):
     return f
 
 
+class TestSortNetwork:
+    def test_oddeven_pairs_zero_one_principle(self):
+        """A comparator network sorts all inputs iff it sorts all 0-1
+        sequences (Knuth TAOCP 5.3.4); check exhaustively up to n=16."""
+        for n in (2, 4, 8, 16):
+            pairs = sp._oddeven_pairs(n)
+            # (n, 2^n) matrix whose columns enumerate every 0-1 sequence
+            cols = (((np.arange(2 ** n)[None, :] >> np.arange(n)[:, None]) & 1)
+                    .astype(np.int8))
+            for i, l in pairs:
+                lo = np.minimum(cols[i], cols[l])
+                hi = np.maximum(cols[i], cols[l])
+                cols[i], cols[l] = lo, hi
+            assert (np.diff(cols.astype(np.int16), axis=0) >= 0).all(), n
+
+    def test_oddeven_pairs_cheaper_than_bitonic(self):
+        # the documented exchange counts the kernel relies on
+        assert len(sp._oddeven_pairs(16)) == 63
+        assert len(sp._oddeven_pairs(64)) == 543
+
+    def test_sortnet_rows_with_padding(self, rng):
+        for n_real, n_pad in ((5, 8), (12, 16), (40, 64)):
+            lanes = 37
+            data = rng.normal(0.0, 100.0, size=(n_real, lanes)).astype(np.float32)
+            data[rng.uniform(size=data.shape) < 0.2] = sp._BIG  # masked lanes
+            rows = [jnp.asarray(data[i]) for i in range(n_real)]
+            rows += [jnp.full((lanes,), sp._BIG, jnp.float32)] * (n_pad - n_real)
+            out = np.stack([np.asarray(r) for r in sp._sortnet_rows(rows, n_real)])
+            expect = np.sort(np.concatenate(
+                [data, np.full((n_pad - n_real, lanes), sp._BIG, np.float32)]), axis=0)
+            np.testing.assert_array_equal(out, expect)
+
+    def test_sortnet_kv_weights_follow_keys(self, rng):
+        n_real, n_pad, lanes = 12, 16, 29
+        # distinct keys so the expected permutation is unique
+        keys_np = rng.permutation(n_real * lanes).reshape(n_real, lanes) \
+            .astype(np.float32)
+        w_np = rng.uniform(0.5, 2.0, size=(n_real, lanes)).astype(np.float32)
+        keys = [jnp.asarray(keys_np[i]) for i in range(n_real)]
+        keys += [jnp.full((lanes,), sp._BIG, jnp.float32)] * (n_pad - n_real)
+        vals = [jnp.asarray(w_np[i]) for i in range(n_real)]
+        vals += [jnp.zeros((lanes,), jnp.float32)] * (n_pad - n_real)
+        sk, sv = sp._sortnet_rows_kv(keys, vals, n_real)
+        sk = np.stack([np.asarray(r) for r in sk])[:n_real]
+        sv = np.stack([np.asarray(r) for r in sv])[:n_real]
+        order = np.argsort(keys_np, axis=0)
+        np.testing.assert_array_equal(sk, np.take_along_axis(keys_np, order, axis=0))
+        np.testing.assert_array_equal(sv, np.take_along_axis(w_np, order, axis=0))
+
+
 class TestPallasVsXLA:
     def test_sigma_matches(self, rng):
         f = frames_with_nans(rng)
