@@ -165,10 +165,11 @@ def _from_three_points_device(cp, cr):
     return jnp.stack([a, b, c, d, e, f])
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _align_device(tri_sides, tri_pts, ref_sides, ref_tri_pts, pts, ref_pts,
-                  n_stars, n_ref, k: int):
-    """The full candidate search for one frame in one device program.
+def _search_one(tri_sides, tri_pts, ref_sides, ref_tri_pts, pts, ref_pts,
+                n_stars, n_ref, k: int):
+    """The full candidate search for one frame (traced body; see
+    _align_device for the jitted per-frame entry and _align_batch_device
+    for the whole-batch entry).
 
     tri_sides (T,3) / tri_pts (T,3,2): frame triangles (padded with 1e30
     sides); ref_sides (R,3) / ref_tri_pts (R,3,2): reference triangles
@@ -296,6 +297,134 @@ def _align_device(tri_sides, tri_pts, ref_sides, ref_tri_pts, pts, ref_pts,
     return trans_all[best], res_all[best], cnt_all[best]
 
 
+_align_device = partial(jax.jit, static_argnames=("k",))(_search_one)
+
+
+def _pick_device(xs, ys, count, ml2, k: int):
+    """Device analog of pick_brightest_distant: greedy selection of up to k
+    stars in brightness (= input) order, masking everything within
+    sqrt(ml2) of each pick (align.go:86-104). xs/ys (K,) with entries past
+    `count` ignored. Returns (k,) int32 indices, -1 past exhaustion."""
+    K = xs.shape[0]
+    idxs = jnp.arange(K, dtype=jnp.int32)
+    avail0 = idxs < count
+
+    def body(i, st):
+        avail, picked = st
+        any_av = jnp.any(avail)
+        # arrays are mass-descending, so the first available index is the
+        # brightest remaining star (argmax returns the first True)
+        s = jnp.argmax(avail).astype(jnp.int32)
+        d2 = (xs - xs[s]) ** 2 + (ys - ys[s]) ** 2
+        keep = avail & (d2 >= ml2) & (idxs != s)
+        picked = picked.at[i].set(jnp.where(any_av, s, jnp.int32(-1)))
+        avail = jnp.where(any_av, keep, avail)
+        return avail, picked
+
+    _, picked = jax.lax.fori_loop(
+        0, k, body, (avail0, jnp.full((k,), -1, jnp.int32)))
+    return picked
+
+
+def _tris_device(xs, ys, picked, combos, scale):
+    """Device analog of generate_triangles: canonical triangles (sides
+    sorted ascending, vertices ordered so dAB < dAC < dBC) over the picked
+    star indices (align.go:108-130). combos (T,3) is the static index table
+    over the k pick slots. Invalid slots (picked -1, degenerate/tied sides)
+    get 1e30 sentinel sides in place instead of being compacted, which the
+    search excludes the same way it excludes padding rows. Sides are scaled
+    by `scale`; vertex coordinates stay UNSCALED like the host matching
+    (align.go:193)."""
+    pk_ok = picked >= 0
+    sel = jnp.where(pk_ok, picked, 0)
+    px = jnp.where(pk_ok, xs[sel], 0.0)
+    py = jnp.where(pk_ok, ys[sel], 0.0)
+    sx, sy = px * scale, py * scale
+    i, j, k3 = combos[:, 0], combos[:, 1], combos[:, 2]
+
+    def dist(a, b):
+        dx = sx[a] - sx[b]
+        dy = sy[a] - sy[b]
+        return jnp.sqrt(dx * dx + dy * dy)
+
+    sides = jnp.stack([dist(i, j), dist(i, k3), dist(j, k3)], axis=-1)  # (T,3)
+    order = jnp.argsort(sides, axis=-1)  # stable, like the strict-tie drop needs
+    s_sorted = jnp.take_along_axis(sides, order, axis=-1)
+    tri_ok = (pk_ok[i] & pk_ok[j] & pk_ok[k3]
+              & (s_sorted[:, 0] < s_sorted[:, 1])
+              & (s_sorted[:, 1] < s_sorted[:, 2]))
+
+    # endpoints of each side: side 0 = (i,j), 1 = (i,k), 2 = (j,k)
+    ends = jnp.stack([jnp.stack([i, j], -1), jnp.stack([i, k3], -1),
+                      jnp.stack([j, k3], -1)], axis=1)  # (T,3,2)
+    T = combos.shape[0]
+    shortest = jnp.take_along_axis(
+        ends, jnp.broadcast_to(order[:, 0:1, None], (T, 1, 2)), axis=1)[:, 0]
+    middle = jnp.take_along_axis(
+        ends, jnp.broadcast_to(order[:, 1:2, None], (T, 1, 2)), axis=1)[:, 0]
+    a_first = (shortest[:, 0:1] == middle).any(axis=1)
+    A = jnp.where(a_first, shortest[:, 0], shortest[:, 1])
+    B = jnp.where(a_first, shortest[:, 1], shortest[:, 0])
+    C = jnp.where(middle[:, 0] == A, middle[:, 1], middle[:, 0])
+
+    tri_pts = jnp.stack(
+        [jnp.stack([px[A], py[A]], -1), jnp.stack([px[B], py[B]], -1),
+         jnp.stack([px[C], py[C]], -1)], axis=1)  # (T,3,2)
+    tri_sides = jnp.where(tri_ok[:, None], s_sorted, 1.0e30)
+    tri_pts = jnp.where(tri_ok[:, None, None], tri_pts, 0.0)
+    return tri_sides, tri_pts
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _align_batch_device(stars_xy, counts, scales, ref_sides, ref_tri_pts,
+                        ref_pts, n_ref, combos, ml2, k: int):
+    """The align phase for a WHOLE batch of frames in one device program:
+    per frame (lax.map, so temporaries stay one frame's worth) run the
+    greedy star pick, triangle generation, and the full candidate search.
+
+    stars_xy (m,2,K): per-frame star coordinates (entries past counts[f]
+    ignored); counts (m,) int32; scales (m,) per-frame side scale factors;
+    combos (C(k,3),3) static triple-index table. Returns
+    (trans (m,6), residual (m,), matched (m,)). Replaces m per-frame
+    dispatches each fed by ~3/4 MB of host-generated triangle uploads --
+    the per-frame H2D fixed cost dominated the match+align phase on
+    many-small-frame configs (BASELINE.md round-3: 500x1MP)."""
+    T = combos.shape[0]
+    Tb = _bucket(T, _TRI_CHUNK)
+    K = stars_xy.shape[2]
+    idxs = jnp.arange(K)
+
+    def one(args):
+        xy, cnt, scale = args
+        xs, ys = xy[0], xy[1]
+        picked = _pick_device(xs, ys, cnt, ml2, k)
+        tri_sides, tri_pts = _tris_device(xs, ys, picked, combos, scale)
+        if Tb > T:
+            tri_sides = jnp.concatenate(
+                [tri_sides, jnp.full((Tb - T, 3), 1.0e30, tri_sides.dtype)])
+            tri_pts = jnp.concatenate(
+                [tri_pts, jnp.zeros((Tb - T, 3, 2), tri_pts.dtype)])
+        valid = idxs < cnt
+        pts = jnp.stack([jnp.where(valid, xs, 1.0e30),
+                         jnp.where(valid, ys, 1.0e30)], axis=-1)
+        return _search_one(tri_sides, tri_pts, ref_sides, ref_tri_pts,
+                           pts, ref_pts, cnt.astype(jnp.float32), n_ref, k)
+
+    return jax.lax.map(one, (stars_xy, counts, scales))
+
+
+_combos_cache: dict[int, np.ndarray] = {}
+
+
+def _combos_for(k: int) -> np.ndarray:
+    """Static (C(k,3), 3) int32 triple-index table over the k pick slots."""
+    c = _combos_cache.get(k)
+    if c is None:
+        c = np.array(list(itertools.combinations(range(k), 3)), np.int32)
+        _combos_cache[k] = c
+    return c
+
+
 def _pad_rows(arr: np.ndarray, n: int, fill: float) -> np.ndarray:
     if arr.shape[0] >= n:
         return arr[:n]
@@ -331,6 +460,53 @@ class Aligner:
         self._ref_sides_dev = jnp.asarray(_pad_rows(self.ref_tri_sides, r_bucket, -1.0e30))
         self._ref_tri_pts_dev = jnp.asarray(_pad_rows(ref_tri_pts, r_bucket, 0.0))
         self._ref_pts_dev = jnp.asarray(_pad_rows(self.ref_pts, s2_bucket, 1.0e30))
+
+    def align_batch_deferred(self, frames_meta):
+        """Align MANY frames with ONE device dispatch.
+
+        frames_meta: list of (naxisn, StarList) with len(stars) >= 3 each.
+        Returns a list of (trans, residual) pairs of pending deferred values
+        (pipeline.deferred.DeferredRow views over two whole-batch arrays),
+        parallel to frames_meta. The star pick and triangle generation run
+        on device (_pick_device/_tris_device), so the only upload is the
+        stacked (m,2,K) coordinate tensor -- per-frame host triangle
+        generation plus its ~3/4 MB upload and per-frame dispatch are the
+        match+align wall on many-small-frame configs (BASELINE.md)."""
+        from nightlight_tpu.deferred import DeferredRow, defer
+
+        m = len(frames_meta)
+        counts = [len(s) for _, s in frames_meta]
+        k_cap = _bucket(max(counts), 256)
+        # power-of-two frame-count buckets (min 8): each distinct shape pays
+        # a remote compile; padded frames (count 0) cost one no-op search each
+        mb = 8
+        while mb < m:
+            mb *= 2
+        arr = np.zeros((mb, 2, k_cap), np.float32)
+        cnt = np.zeros(mb, np.int32)
+        scales = np.ones(mb, np.float32)
+        for r, (naxisn, stars) in enumerate(frames_meta):
+            n = stars.count
+            arr[r, 0, :n] = stars.x[:n]
+            arr[r, 1, :n] = stars.y[:n]
+            cnt[r] = n
+            scales[r] = float(self.naxisn[0]) / float(naxisn[0])
+
+        if getattr(self, "_combos_dev", None) is None:
+            self._combos_dev = jnp.asarray(_combos_for(self.k))
+        min_length = float(self.naxisn[1]) * MIN_DISTANCE_FRACTION
+        trans_all, res_all, _ = _align_batch_device(
+            jnp.asarray(arr), jnp.asarray(cnt), jnp.asarray(scales),
+            self._ref_sides_dev, self._ref_tri_pts_dev, self._ref_pts_dev,
+            jnp.int32(len(self.ref_pts)), self._combos_dev,
+            jnp.float32(min_length * min_length), self.k)
+
+        trans_parent = defer(trans_all, conv=np.asarray)
+        res_parent = defer(res_all, conv=np.asarray)
+        return [(DeferredRow(trans_parent, r,
+                             conv=lambda v: np.asarray(v, np.float32)),
+                 DeferredRow(res_parent, r, conv=float))
+                for r in range(m)]
 
     def align_deferred(self, naxisn, stars: StarList, id: int = 0):
         """Dispatch the alignment search; returns (trans, residual, matched)

@@ -242,6 +242,46 @@ class Deferred:
         return hash(self.value)
 
 
+class DeferredRow(Deferred):
+    """A view of one row of a pending whole-batch Deferred.
+
+    Batch-phase programs (e.g. the batched aligner) produce ONE device array
+    holding every frame's result; deferring the whole array once and handing
+    each frame a row view keeps the pool's flush to one transfer instead of
+    m tiny per-row device slices (each a distinct compiled program on
+    static-index slicing). Resolution resolves the parent (flushing the
+    pool) and converts this row."""
+
+    __slots__ = ("_parent", "_row")
+
+    def __init__(self, parent: Deferred, row: int, conv: Callable = float):
+        self._parent = parent
+        self._row = row
+        self._conv = conv
+        self._value = None
+        self._resolved = False
+        self._array = None
+        self._pool = parent._pool
+
+    @property
+    def value(self):
+        if not self._resolved:
+            self._value = self._conv(self._parent.value[self._row])
+            self._resolved = True
+        return self._value
+
+    @property
+    def array(self):
+        raise ValueError("DeferredRow exposes no device array; use .value")
+
+    def __jax_array__(self):
+        import jax.numpy as jnp
+
+        if not self._resolved and not self._parent._resolved:
+            return self._parent._array[self._row]
+        return jnp.asarray(self.value)
+
+
 def resolve_maybe(x):
     """Host value of x, resolving if deferred."""
     return x.value if isinstance(x, Deferred) else x

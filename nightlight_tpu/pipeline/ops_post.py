@@ -102,7 +102,101 @@ class OpAlign(UnaryOperator):
 
             self._aligner = Aligner(c.align_naxisn, c.align_stars, self.k)
 
-    def apply(self, f: Image, c: Context):
+    def make_promises(self, ins, c):
+        """Batch prepass: the first promise to run materializes ALL inputs
+        (the selectRef barrier upstream already materialized them) and runs
+        the WHOLE batch's alignment searches as ONE device program
+        (Aligner.align_batch_deferred) -- star pick and triangle generation
+        included. Each per-frame promise then applies with its precomputed
+        deferred result. Per-frame dispatch (one host triangle build plus a
+        ~3/4 MB upload per frame) dominated the match+align phase on
+        many-small-frame configs. NIGHTLIGHT_NO_BATCH_ALIGN=1 restores the
+        per-frame path."""
+        import os
+
+        if (not ins or self.k <= 0
+                or os.environ.get("NIGHTLIGHT_NO_BATCH_ALIGN")):
+            return super().make_promises(ins, c)
+
+        state = {"frames": None, "results": None, "error": None}
+        lock = threading.Lock()
+
+        def _materialize_positional():
+            """materialize_all, but position-preserving: dropped frames stay
+            as None in place so promise i still maps to frame i."""
+            from concurrent.futures import ThreadPoolExecutor
+
+            outs: list = [None] * len(ins)
+            errors: list = [None] * len(ins)
+
+            def run(i):
+                try:
+                    outs[i] = ins[i]()
+                except Exception as e:  # noqa: BLE001 - aggregated like materialize_all
+                    errors[i] = e
+
+            if c.max_threads <= 1 or len(ins) == 1:
+                for i in range(len(ins)):
+                    run(i)
+            else:
+                with ThreadPoolExecutor(max_workers=c.max_threads) as pool:
+                    list(pool.map(run, range(len(ins))))
+            err = next((e for e in errors if e is not None), None)
+            if err is not None:
+                msgs = list(dict.fromkeys(str(e) for e in errors if e is not None))
+                if len(msgs) > 1:
+                    err = RuntimeError("; ".join(msgs))
+            return outs, err
+
+        def mk(i: int):
+            def out():
+                with lock:
+                    if state["error"] is not None:
+                        raise RuntimeError("same error")
+                    if state["frames"] is None:
+                        frames, err = _materialize_positional()
+                        if err is not None:
+                            state["error"] = err
+                            raise err
+                        state["frames"] = frames
+                        try:
+                            state["results"] = self._batch_align(frames, c)
+                        except Exception as e:
+                            state["error"] = e
+                            raise
+                f = state["frames"][i]
+                state["frames"][i] = None
+                if f is None:
+                    return None
+                results = state["results"]
+                return self.apply(f, c, _batch_result=results.get(i) if results else None)
+
+            return out
+
+        return [mk(i) for i in range(len(ins))]
+
+    def _batch_align(self, frames, c: Context):
+        """One batched device dispatch covering every alignable frame.
+        Returns {frame index: (trans, residual) deferred pair} or None when
+        no frame qualifies; frames outside the dict take the per-frame path
+        in apply() (ref frame, too few stars, missing star lists)."""
+        if not any(f is not None and f.stars is not None and len(f.stars) > 0
+                   for f in frames):
+            return None
+        self._init_aligner(c)
+        aligner = self._aligner
+        if aligner is None or len(aligner.ref_stars) == 0 or not aligner.ref_tris.size:
+            return None
+        eligible = [i for i, f in enumerate(frames)
+                    if f is not None and f.stars is not None
+                    and f.stars is not aligner.ref_stars and len(f.stars) >= 3]
+        if not eligible:
+            return None
+        rows = aligner.align_batch_deferred(
+            [(frames[i].naxisn, frames[i].stars) for i in eligible])
+        return dict(zip(eligible, rows))
+
+    def apply(self, f: Image, c: Context, _batch_result=None):
         if f is None:
             return None
         from nightlight_tpu.align import transform as tf
@@ -132,12 +226,16 @@ class OpAlign(UnaryOperator):
             # consumer (stack barrier or a save), where check_align_drop
             # applies the reference's frame-dropping rule
             # (postprocess.go:177-180) with the same log line and projects
-            # the kept frames.
-            out_def = aligner.align_deferred(f.naxisn, f.stars, f.id)
-            if out_def is None:
-                c.logf("%d: No alignment stars found, skipping frame\n", f.id)
-                return None
-            trans, residual, _ = out_def
+            # the kept frames. _batch_result carries this frame's row of the
+            # whole-batch program (make_promises prepass) when present.
+            if _batch_result is not None:
+                trans, residual = _batch_result
+            else:
+                out_def = aligner.align_deferred(f.naxisn, f.stars, f.id)
+                if out_def is None:
+                    c.logf("%d: No alignment stars found, skipping frame\n", f.id)
+                    return None
+                trans, residual, _ = out_def
             f.trans, f.residual = trans, residual
             c.logf("%d: Transform %s; residual %.3g oob %.3g\n",
                    f.id, _LazyTransformStr(trans), residual, oob)

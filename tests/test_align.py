@@ -125,6 +125,121 @@ class TestAligner:
         assert residual > 1.0  # caller drops frames above threshold
 
 
+class TestBatchAligner:
+    """The whole-batch device align path (Aligner.align_batch_deferred):
+    device star pick and triangle generation must match the host functions
+    exactly, and the one-dispatch batch search must match the per-frame
+    search."""
+
+    def _field(self, rng, n=40, w=1000, h=800):
+        xs = rng.uniform(50, w - 50, size=n).astype(np.float32)
+        ys = rng.uniform(50, h - 50, size=n).astype(np.float32)
+        masses = rng.uniform(100, 10000, size=n).astype(np.float32)
+        return xs, ys, masses
+
+    def test_device_pick_matches_host(self, rng):
+        from nightlight_tpu.align.aligner import _pick_device
+
+        ml = 800 / 20.0
+        for n in (40, 12, 4):
+            xs, ys, m = self._field(rng, n=n)
+            s = make_starlist(xs, ys, m)
+            hp = pick_brightest_distant(s.x, s.y, ml, 20)
+            xs_p = np.zeros(256, np.float32)
+            ys_p = np.zeros(256, np.float32)
+            xs_p[:n], ys_p[:n] = s.x, s.y
+            dp = np.asarray(_pick_device(
+                jnp.asarray(xs_p), jnp.asarray(ys_p), jnp.int32(n),
+                jnp.float32(ml * ml), 20))
+            dp = dp[dp >= 0]
+            assert len(dp) == len(hp)
+            assert (dp == hp).all()
+
+    def test_device_triangles_match_host(self, rng):
+        from nightlight_tpu.align.aligner import (
+            _combos_for, _pick_device, _tris_device)
+
+        n, ml, scale = 30, 40.0, 0.75
+        xs, ys, m = self._field(rng, n=n)
+        s = make_starlist(xs, ys, m)
+        hp = pick_brightest_distant(s.x, s.y, ml, 20)
+        h_sides, h_tris = generate_triangles(s.x, s.y, hp, scale)
+        xs_p = np.zeros(256, np.float32)
+        ys_p = np.zeros(256, np.float32)
+        xs_p[:n], ys_p[:n] = s.x, s.y
+        picked = _pick_device(jnp.asarray(xs_p), jnp.asarray(ys_p),
+                              jnp.int32(n), jnp.float32(ml * ml), 20)
+        d_sides, d_pts = _tris_device(
+            jnp.asarray(xs_p), jnp.asarray(ys_p), picked,
+            jnp.asarray(_combos_for(20)), jnp.float32(scale))
+        d_sides, d_pts = np.asarray(d_sides), np.asarray(d_pts)
+        ok = d_sides[:, 0] < 1e29
+        assert int(ok.sum()) == len(h_sides)
+        # same canonical triangles: sides AND vertex coordinates per triple
+        h_pts = np.stack([s.x[h_tris], s.y[h_tris]], -1)
+        h_map = {tuple(np.round(r, 3)): np.round(p, 2).tobytes()
+                 for r, p in zip(h_sides, h_pts)}
+        d_map = {tuple(np.round(r, 3)): np.round(p, 2).tobytes()
+                 for r, p in zip(d_sides[ok], d_pts[ok])}
+        assert h_map == d_map
+
+    def test_batch_matches_per_frame(self, rng):
+        xs, ys, m = self._field(rng, n=60)
+        ref = make_starlist(xs, ys, m)
+        aligner = Aligner([1000, 800], ref, k=20)
+        frames = []
+        for dx, dy in ((-12.5, 7.25), (3.0, -9.5), (0.25, 0.5)):
+            frames.append(make_starlist(xs - dx, ys + dy, m))
+        per = [aligner.align([1000, 800], f) for f in frames]
+        rows = aligner.align_batch_deferred([([1000, 800], f) for f in frames])
+        for (tp, rp), (td, rd) in zip(per, rows):
+            assert np.isfinite(rp)
+            np.testing.assert_allclose(np.asarray(td.value, np.float32), tp,
+                                       atol=1e-4)
+            assert abs(float(rd) - rp) < 1e-4
+
+    def test_op_align_batch_prepass_matches_per_frame(self, rng, monkeypatch):
+        """OpAlign.make_promises' batch prepass must produce the same
+        transforms/residuals and drop decisions as the per-frame path
+        (NIGHTLIGHT_NO_BATCH_ALIGN=1)."""
+        from nightlight_tpu.image import Image
+        from nightlight_tpu.pipeline.context import Context
+        from nightlight_tpu.pipeline.ops_post import OpAlign
+
+        xs = rng.uniform(4, 60, size=60).astype(np.float32)
+        ys = rng.uniform(4, 44, size=60).astype(np.float32)
+        m = rng.uniform(100, 10000, size=60).astype(np.float32)
+        ref = make_starlist(xs, ys, m)
+
+        def run(no_batch):
+            if no_batch:
+                monkeypatch.setenv("NIGHTLIGHT_NO_BATCH_ALIGN", "1")
+            else:
+                monkeypatch.delenv("NIGHTLIGHT_NO_BATCH_ALIGN", raising=False)
+            c = Context()
+            c.align_naxisn = [64, 48]
+            c.align_stars = ref
+            imgs = []
+            for i, (dx, dy) in enumerate(((-2.0, 1.25), (0.5, -1.5))):
+                img = Image.from_naxisn(
+                    [64, 48], jnp.asarray(rng.uniform(0, 1, (48, 64))
+                                          .astype(np.float32)))
+                img.id = i
+                img.stars = make_starlist(xs - dx, ys + dy, m)
+                imgs.append(img)
+            op = OpAlign(k=20, threshold=1.0, defer_warp=False)
+            proms = op.make_promises([lambda im=im: im for im in imgs], c)
+            outs = [p() for p in proms]
+            return [(o.trans, o.residual) for o in outs if o is not None]
+
+        a = run(no_batch=False)
+        b = run(no_batch=True)
+        assert len(a) == len(b) == 2
+        for (ta, ra), (tb, rb) in zip(a, b):
+            np.testing.assert_allclose(ta, tb, atol=1e-4)
+            assert abs(ra - rb) < 1e-4
+
+
 class TestProject:
     def test_identity_projection(self, rng):
         img = rng.uniform(0, 100, size=(32, 48)).astype(np.float32)
