@@ -23,6 +23,18 @@ import json
 import os
 import time
 
+# Per-phase soft time budgets (seconds). The tunnel's bandwidth swings 30x
+# between hours (BASELINE.md); in a bad band a single e2e pass can take
+# many minutes, and the best-of-N loops below would multiply that. Every
+# phase always completes its warm-up plus at least ONE timed pass (so the
+# metric is still honest), but further best-of passes are skipped once the
+# phase exceeds its budget.
+_BUDGET_SCALE = float(os.environ.get("NIGHTLIGHT_BENCH_BUDGET", "1.0"))
+
+
+def _over_budget(t_start: float, budget_s: float) -> bool:
+    return (time.perf_counter() - t_start) > budget_s * _BUDGET_SCALE
+
 
 def _enable_cache() -> None:
     # one policy for cache dir + the TPU-only guard (XLA:CPU AOT cache
@@ -56,6 +68,7 @@ def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 5) -> None:
         import sys
 
         elapsed = float("inf")
+        t_phase = time.perf_counter()
         for i in range(best_of + 1):  # pass 0 is the compile warm-up
             t0 = time.perf_counter()
             with contextlib.redirect_stdout(sys.stderr):  # keep stdout = JSON only
@@ -67,6 +80,9 @@ def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 5) -> None:
             # so it is usually slower -- but when the tunnel stalls the later
             # passes instead, taking it into the min can only help
             elapsed = min(elapsed, dt)
+            # bad-band guard: keep warm-up + >=1 timed pass, then stop
+            if i >= 1 and _over_budget(t_phase, 600.0):
+                break
         fps = n_frames / elapsed
         print(json.dumps({
             "metric": "16MP frames/sec end-to-end "
@@ -204,8 +220,12 @@ def main() -> None:
     # ~0.5-1s stalls (BASELINE.md) that would otherwise poison a single
     # measurement by 2-3x.
     elapsed = float("inf")
-    for _ in range(10):
+    t_phase = time.perf_counter()
+    for i in range(10):
         elapsed = min(elapsed, run_pass())
+        # bad-band guard: always >=1 timed pass, then respect the budget
+        if _over_budget(t_phase, 240.0):
+            break
 
     frames_per_sec = n_frames / elapsed
     target = 10.0  # 100 x 16MP in <10s (BASELINE.md)
