@@ -58,20 +58,26 @@ def pick_brightest_distant(xs: np.ndarray, ys: np.ndarray, min_length: float, k:
     Vectorized equivalent of the reference's O(n*k) scalar loop: each round
     picks the brightest remaining star (inputs are mass-descending) and
     masks out everything within min_length of it.
+
+    The distance test runs in float32 difference form, like the reference
+    (coord.go:85-88 computes Dist2DSquared on float32) and like the device
+    pick in _pick_device — so the batch-align and per-frame paths agree on
+    boundary pairs (residual sub-ULP divergence from XLA FMA contraction is
+    covered by the gradient-aware test bands, CLAUDE.md).
     """
     n = len(xs)
     avail = np.ones(n, bool)
     picked: list[int] = []
-    ml2 = float(min_length) * float(min_length)
-    xs64 = xs.astype(np.float64)
-    ys64 = ys.astype(np.float64)
+    ml2 = np.float32(min_length) * np.float32(min_length)
+    xs32 = xs.astype(np.float32)
+    ys32 = ys.astype(np.float32)
     while len(picked) < k:
         idxs = np.nonzero(avail)[0]
         if len(idxs) == 0:
             break
         s = int(idxs[0])
         picked.append(s)
-        d2 = (xs64 - xs64[s]) ** 2 + (ys64 - ys64[s]) ** 2
+        d2 = (xs32 - xs32[s]) ** 2 + (ys32 - ys32[s]) ** 2
         avail &= d2 >= ml2
     return np.array(picked, np.int32)
 

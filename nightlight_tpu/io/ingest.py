@@ -10,6 +10,8 @@ frames, keeping host->HBM transfers off the critical path.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import math
+import threading
 from typing import Iterable, Iterator
 
 import jax
@@ -74,6 +76,10 @@ class BulkUploader:
 
     All device work happens on the CALLING thread (the axon backend rejects
     concurrent device access, CLAUDE.md); no worker threads are used.
+    Consumers MAY call ``get`` from several threads (materialize_all runs
+    load promises in a pool when max_threads > 1): a single lock serializes
+    the order bookkeeping and the device calls, which the backend requires
+    anyway.
     """
 
     GROUP_BYTES = 32 << 20  # the tunnel's measured sweet spot (BASELINE.md)
@@ -89,6 +95,8 @@ class BulkUploader:
         self._order = list(self._spec_order)  # active consumption order
         self._cursor = 0
         self._window = window
+        self._lock = threading.RLock()
+        self._ready_bytes = 0  # decoded f32 bytes held in _ready
         self.group_frames = max(2, min(self.MAX_GROUP,
                                        self.GROUP_BYTES // max(1, frame_bytes)))
         self.n_uploads = 0  # observability: grouped transfers dispatched
@@ -126,45 +134,63 @@ class BulkUploader:
     def reorder(self, names: list[str]) -> None:
         """Announce the upcoming consumption order (one out-of-core batch).
         Grouping restarts here: groups never straddle the announcement."""
-        self._order = [n for n in names if n in self._pending]
-        self._cursor = 0
+        with self._lock:
+            self._order = [n for n in names if n in self._pending]
+            self._cursor = 0
 
     def get(self, name: str):
-        if name in self._ready:
-            img = self._ready.pop(name)
+        with self._lock:
+            if name in self._ready:
+                img = self._pop_ready(name)
+                self._advance()
+                return img
+            if name not in self._pending:
+                # not managed here (or consumed twice): plain per-frame load
+                from nightlight_tpu.io.fits import read_file
+
+                return read_file(name, id=self._ids.get(name, 0), log=self._log,
+                                 to_device=True)
+            # make sure `name` leads a group even if the consumer skipped
+            # ahead of the announced order
+            if name not in self._order[self._cursor:]:
+                self._order.insert(self._cursor, name)
+            else:
+                while self._order[self._cursor] != name:
+                    skipped = self._order.pop(self._cursor)
+                    self._order.append(skipped)  # keep skipped frames reachable
+            while name not in self._ready:
+                self._upload_next_group()
+            img = self._pop_ready(name)
             self._advance()
             return img
-        if name not in self._pending:
-            # not managed here (or consumed twice): plain per-frame load
-            from nightlight_tpu.io.fits import read_file
-
-            return read_file(name, id=self._ids.get(name, 0), log=self._log,
-                             to_device=True)
-        # make sure `name` leads a group even if the consumer skipped ahead
-        # of the announced order
-        if name not in self._order[self._cursor:]:
-            self._order.insert(self._cursor, name)
-        else:
-            while self._order[self._cursor] != name:
-                skipped = self._order.pop(self._cursor)
-                self._order.append(skipped)  # keep skipped frames reachable
-        while name not in self._ready:
-            self._upload_next_group()
-        img = self._ready.pop(name)
-        self._advance()
-        return img
 
     # -- internals ---------------------------------------------------------
 
+    def _pop_ready(self, name: str):
+        img = self._ready.pop(name)
+        self._ready_bytes -= int(math.prod(img.naxisn)) * 4
+        return img
+
+    def _group_limit(self, signature) -> int:
+        """Frames per group for THIS signature, bounded by GROUP_BYTES.
+        Derived per group (not from the first file of the run): a small
+        leading file must not let groups of later large frames grow
+        unbounded past the transfer sweet spot."""
+        bitpix, naxisn = signature
+        frame_bytes = math.prod(naxisn) * (2 if bitpix == 16 else 1)
+        return max(1, min(self.MAX_GROUP,
+                          self.GROUP_BYTES // max(1, frame_bytes)))
+
     def _advance(self) -> None:
-        """Keep `window` groups of uploads in flight ahead of consumption."""
-        ahead = [n for n in self._order[self._cursor:] if n in self._pending]
-        in_flight = len(self._ready)
-        budget = self._window * self.group_frames - in_flight
-        while ahead and budget > 0:
-            n = self._upload_next_group()
-            ahead = ahead[n:]
-            budget -= n
+        """Keep ~`window` groups' worth of DECODED BYTES in flight ahead of
+        consumption (a frame-count budget would blow up HBM when frames are
+        larger than the first file's: bytes are what the window bounds)."""
+        budget = self._window * self.GROUP_BYTES * 2  # decoded f32 ~= 2x u16
+        while self._ready_bytes < budget:
+            if not any(n in self._pending for n in self._order[self._cursor:]):
+                break
+            if self._upload_next_group() == 0:
+                break
 
     def _upload_next_group(self) -> int:
         """Read + pack + upload + device-decode ONE group starting at the
@@ -190,8 +216,9 @@ class BulkUploader:
 
         members: list[tuple[str, object, bytes]] = []  # (name, img, raw)
         signature = None
+        limit = self.group_frames
         made_ready = 0
-        while self._cursor < len(self._order) and len(members) < self.group_frames:
+        while self._cursor < len(self._order) and len(members) < limit:
             nm = self._order[self._cursor]
             if nm not in self._pending:
                 self._cursor += 1
@@ -200,12 +227,16 @@ class BulkUploader:
             if raw is None:  # float/TIFF payload: decoded individually
                 self._pending.discard(nm)
                 self._ready[nm] = img
+                self._ready_bytes += int(math.prod(img.naxisn)) * 4
                 made_ready += 1
                 self._cursor += 1
                 continue
             sig = (img.bitpix, tuple(img.naxisn))
             if signature is None:
                 signature = sig
+                # the group's frame budget follows ITS signature, so a small
+                # first file never inflates groups of later large frames
+                limit = self._group_limit(sig)
             elif sig != signature:
                 # shape/BITPIX run ends here; nm starts the next group (its
                 # header+payload re-read there — small frames, rare case)
@@ -219,7 +250,7 @@ class BulkUploader:
         bitpix, naxisn = signature
         dtype = "<u2" if bitpix == 16 else np.uint8
         shape = tuple(reversed(naxisn))
-        g = self.group_frames
+        g = limit
         views = [np.frombuffer(raw, dtype=dtype) for _, _, raw in members]
         pad = g - len(members)
         if pad:  # fixed (G, pixels) program shape; padding rows never read
@@ -236,6 +267,7 @@ class BulkUploader:
             im.bzero, im.bscale = 0.0, 1.0
             im.stats = Stats(im.data, im.naxisn[0])
             self._ready[nm] = im
+            self._ready_bytes += int(math.prod(im.naxisn)) * 4
             made_ready += 1
         return made_ready
 

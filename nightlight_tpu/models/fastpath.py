@@ -64,7 +64,7 @@ def preprocess_batch(frames, bp_sigma_low: float = 3.0, bp_sigma_high: float = 5
         jnp.float32(star_sig), jnp.float32(star_bp_sig), jnp.float32(star_in_out),
         int(radius), int(max_candidates),
         use_pallas_gather=pallas_gather_available())
-    scalars_np = np.asarray(scalars)   # (N, 9) -- one transfer
+    scalars_np = np.asarray(scalars)   # (N, 15) incl. deband cols -- one transfer
     stars_np = np.asarray(stars)       # (N, 5, K) -- one transfer
 
     metas = []

@@ -120,7 +120,6 @@ def _window_median_factors_device(percentiles: jax.Array, window: int) -> jax.Ar
     center = 0.5 * w
     slope = (right_med - left_med) / center
 
-    m = missing[:, None].astype(jnp.float32)
     # left edge (missing<0): replace i in [w+missing, w), offset=(i-w)-center
     # right edge (missing>0): replace i in [0, missing), offset=(i+w)-center
     jf = j.astype(jnp.float32)

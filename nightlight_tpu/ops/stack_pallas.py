@@ -226,13 +226,20 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             lower = select_at(lo + jnp.maximum(c1 // 2 - 1, 0))
             return jnp.where(c1 % 2 == 1, upper, 0.5 * (lower + upper))
 
-        def count_pred(lo, hi, bound, below: bool):
-            m = range_mask(lo, hi)
-            if below:
-                p = svals < bound
-            else:
-                p = (svals > bound) & (svals < _BIG)
-            return jnp.sum((m & p).astype(jnp.int32), axis=0, keepdims=True)
+        def rank_counts(lo, hi, low_b, high_b):
+            """(#active < low_b, #active > high_b) for the SORTED active
+            range [lo, hi): each predicate set is a prefix of the sorted
+            rows, so two global rank sums + clips replace the per-row
+            range-mask-and-predicate reductions (identical integer counts,
+            ~3x fewer vector ops). Rows at/past cnt0 hold +BIG, which no
+            bound reaches, and hi <= cnt0 keeps them outside the range."""
+            r_lo = jnp.sum((svals < low_b).astype(jnp.int32),
+                           axis=0, keepdims=True)
+            r_hi = jnp.sum((svals <= high_b).astype(jnp.int32),
+                           axis=0, keepdims=True)
+            below = jnp.clip(r_lo, lo, hi) - lo
+            above = hi - jnp.clip(r_hi, lo, hi)
+            return below, above
 
         def winsor_std(lo, hi, median, std0):
             """Winsorized stddev fixed point, per-pixel-faithful.
@@ -254,9 +261,8 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
                 wsum = jnp.sum(jnp.where(m, clamped, 0.0), axis=0, keepdims=True)
                 wsq = jnp.sum(jnp.where(m, clamped * clamped, 0.0),
                               axis=0, keepdims=True)
-                changed = jnp.sum(
-                    (m & ((svals < wlo) | ((svals > whi) & (svals < _BIG)))).astype(jnp.int32),
-                    axis=0, keepdims=True)
+                ch_lo, ch_hi = rank_counts(lo, hi, wlo, whi)
+                changed = ch_lo + ch_hi
                 mean = wsum / c
                 var = wsq / c - mean * mean
                 return 1.134 * jnp.sqrt(jnp.maximum(var, 0.0)), changed
@@ -308,8 +314,9 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             low_b = median - sigma_low * std
             high_b = median + sigma_high * std
 
-            below = jnp.where(running, count_pred(lo, hi, low_b, True), 0)
-            above = jnp.where(running, count_pred(lo, hi, high_b, False), 0)
+            below_r, above_r = rank_counts(lo, hi, low_b, high_b)
+            below = jnp.where(running, below_r, 0)
+            above = jnp.where(running, above_r, 0)
             new_lo = lo + below
             new_hi = hi - above
             new_cnt = new_hi - new_lo

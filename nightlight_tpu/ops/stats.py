@@ -709,14 +709,6 @@ class Stats:
         self._ensure_mmm()
         return self._device_value(self._min), self._device_value(self._max)
 
-    def lazy_location_scale(self):
-        """(location, scale) as the cached host floats / pending Deferreds --
-        for LOG arguments: logf keeps pending Deferreds lazy, so the line
-        renders at the next flush without forcing a sync here."""
-        if not self._have_locscale:
-            self._update_location_scale()
-        return self._location, self._scale
-
     def _update_location_scale(self) -> None:
         """Dispatch on estimator mode (stats.go:225-244)."""
         from nightlight_tpu.deferred import defer

@@ -131,9 +131,12 @@ class UnaryOperator(Operator):
         raise NotImplementedError
 
 
-def materialize_all(ins: list[Promise], max_threads: int, forget: bool):
+def materialize_all(ins: list[Promise], max_threads: int, forget: bool,
+                    compact: bool = True):
     """Materialize promises with bounded concurrency, aggregating and
-    deduplicating errors, compacting None results (operator.go:73-131)."""
+    deduplicating errors, compacting None results (operator.go:73-131).
+    With compact=False, results stay position-preserving (dropped frames
+    remain None in place, so result i still maps to promise i)."""
     if not ins:
         return [], None
     outs: list[Optional[Image]] = [None] * len(ins)
@@ -169,7 +172,8 @@ def materialize_all(ins: list[Promise], max_threads: int, forget: bool):
             err = e
     if err is not None and len(msgs) > 1:
         err = RuntimeError("; ".join(msgs))
-    outs = [o for o in outs if o is not None]
+    if compact:
+        outs = [o for o in outs if o is not None]
     return outs, err
 
 

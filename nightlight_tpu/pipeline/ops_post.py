@@ -122,31 +122,12 @@ class OpAlign(UnaryOperator):
         lock = threading.Lock()
 
         def _materialize_positional():
-            """materialize_all, but position-preserving: dropped frames stay
-            as None in place so promise i still maps to frame i."""
-            from concurrent.futures import ThreadPoolExecutor
+            """materialize_all, position-preserving: dropped frames stay as
+            None in place so promise i still maps to frame i."""
+            from nightlight_tpu.pipeline.operators import materialize_all
 
-            outs: list = [None] * len(ins)
-            errors: list = [None] * len(ins)
-
-            def run(i):
-                try:
-                    outs[i] = ins[i]()
-                except Exception as e:  # noqa: BLE001 - aggregated like materialize_all
-                    errors[i] = e
-
-            if c.max_threads <= 1 or len(ins) == 1:
-                for i in range(len(ins)):
-                    run(i)
-            else:
-                with ThreadPoolExecutor(max_workers=c.max_threads) as pool:
-                    list(pool.map(run, range(len(ins))))
-            err = next((e for e in errors if e is not None), None)
-            if err is not None:
-                msgs = list(dict.fromkeys(str(e) for e in errors if e is not None))
-                if len(msgs) > 1:
-                    err = RuntimeError("; ".join(msgs))
-            return outs, err
+            return materialize_all(ins, c.max_threads, forget=False,
+                                   compact=False)
 
         def mk(i: int):
             def out():

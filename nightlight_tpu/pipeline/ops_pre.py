@@ -187,10 +187,15 @@ class OpDebandVert(UnaryOperator):
               "sigma": ("sigma", 3.0)}
 
     def is_noop(self) -> bool:
-        return self.percentile <= 0 or self.percentile >= 100
+        # window<=0 no-ops like OpDebandHoriz (banding.go:62). The
+        # reference's VERTICAL op lacks that guard and panics on an empty
+        # window (banding.go:199,256-259 — a latent upstream bug its horiz
+        # twin fixed); deliberate divergence: no-op instead of crashing.
+        return (self.percentile <= 0 or self.percentile >= 100
+                or self.window <= 0)
 
     def apply(self, f: Image, c: Context) -> Image:
-        if self.percentile <= 0 or self.percentile >= 100:
+        if self.is_noop():
             return f
         from nightlight_tpu.ops.deband import deband
 

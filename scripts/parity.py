@@ -161,8 +161,11 @@ def _diff_digests(got: dict, want: dict) -> list[str]:
         for key in ("shape", "nan"):
             if g[key] != w[key]:
                 problems.append(f"digest: {fn}: {key} {g[key]} != {w[key]}")
+        # --tpu runs widen to the legacy band like the log diff does
+        # (kernel-vs-XLA reduction order shifts means at ~1e-2 scale)
+        atol, rtol = (0.05, 0.02) if _TPU_MODE else (2e-3, 1e-3)
         for key in ("mean", "std"):
-            if abs(g[key] - w[key]) > max(2e-3, 1e-3 * abs(w[key])):
+            if abs(g[key] - w[key]) > max(atol, rtol * abs(w[key])):
                 problems.append(f"digest: {fn}: {key} {g[key]} != {w[key]}")
         if not _TPU_MODE and g["sha256_q3"] != w["sha256_q3"]:
             problems.append(f"digest: {fn}: pixel hash changed "

@@ -123,3 +123,44 @@ class TestChromaKernels:
         out = col.neutralize_background(c, 0.5, 0.7)
         assert pix(out, 0)[1] == pytest.approx(0.0)  # below low: chroma zeroed
         assert pix(out, 1)[1] == pytest.approx(0.8)  # above: kept
+
+
+class TestStarColorDevice:
+    def test_device_matches_host(self, rng):
+        """mean_star_intensity_device is the production path (OpRGBBalance);
+        the host implementation is the retained reference (rgb.go:223-281).
+        Cross-check the two on a random cube with edge-hugging stars so a
+        numerical divergence in the device masks cannot land silently."""
+        import jax.numpy as jnp
+
+        from nightlight_tpu.detect.stars import StarList
+        from nightlight_tpu.ops.rgb import (mean_star_intensity,
+                                            mean_star_intensity_device)
+
+        h, w = 64, 96
+        cube = rng.uniform(0.0, 1000.0, size=(3, h, w)).astype(np.float32)
+        n = 12
+        xs = rng.uniform(4, w - 5, n).astype(np.float32)
+        ys = rng.uniform(4, h - 5, n).astype(np.float32)
+        xs[0], ys[0] = 0.4, 1.2            # window clipped at the corner
+        xs[1], ys[1] = w - 1.2, h - 0.6    # opposite corner
+        stars = StarList(
+            x=xs, y=ys, value=np.ones(n, np.float32),
+            mass=np.linspace(5000, 100, n).astype(np.float32),
+            hfr=rng.uniform(1.0, 4.0, n).astype(np.float32), count=n)
+        clip = (900.0, 920.0, 940.0)
+        for skip_b, skip_d in ((0.0, 0.0), (0.15, 0.15), (0.5, 0.5)):
+            want = mean_star_intensity(cube, stars, skip_b, skip_d, clip)
+            got = mean_star_intensity_device(
+                jnp.asarray(cube), stars, skip_b, skip_d,
+                tuple(jnp.float32(c) for c in clip))
+            got3 = (0.0, 0.0, 0.0) if got is None else tuple(np.asarray(got))
+            np.testing.assert_allclose(got3, want, rtol=2e-5, atol=1e-4)
+
+    def test_empty_and_all_skipped(self):
+        from nightlight_tpu.detect.stars import StarList
+        from nightlight_tpu.ops.rgb import mean_star_intensity_device
+
+        cube = np.zeros((3, 8, 8), np.float32)
+        assert mean_star_intensity_device(cube, StarList.empty(), 0.0, 0.0,
+                                          (1.0, 1.0, 1.0)) is None

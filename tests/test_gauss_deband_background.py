@@ -1,6 +1,8 @@
 """Gaussian kernel/USM (golden vectors modeled on the reference's
 usm_test.go:29-228), debanding, and background extraction tests."""
 
+import io
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -92,6 +94,25 @@ class TestDeband:
         out, *_ = deband(jnp.asarray(banded), 50.0, 32, 0.0, 100.0, 1.0, False)
         col_means = np.asarray(out).mean(axis=0)
         assert col_means.std() < banded.mean(axis=0).std() * 0.3
+
+    def test_window_zero_is_noop(self, rng):
+        """window<=0 must no-op on BOTH ops (OpDebandHoriz mirrors the
+        reference guard banding.go:62; the reference's vertical op lacks it
+        and panics — deliberate divergence). Reaching deband_core with w=0
+        would fail at trace time on the (n, 0) window gather."""
+        from nightlight_tpu.image import Image
+        from nightlight_tpu.pipeline.context import Context
+        from nightlight_tpu.pipeline.ops_pre import OpDebandHoriz, OpDebandVert
+
+        img = Image.from_naxisn(
+            [16, 16], rng.normal(100.0, 1.0, size=(16, 16)).astype(np.float32))
+        c = Context(log=io.StringIO())
+        for op in (OpDebandVert(percentile=50.0, window=0, sigma=3.0),
+                   OpDebandHoriz(percentile=50.0, window=-5, sigma=3.0)):
+            assert op.is_noop()
+            out = op.apply(img, c)
+            np.testing.assert_array_equal(np.asarray(out.data),
+                                          np.asarray(img.data))
 
     def test_threshold_excludes_stars(self, rng):
         h, w = 32, 256

@@ -103,6 +103,60 @@ class TestBulkUploader:
             ref = nlfits.read_file(name, log=io.StringIO())
             np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
 
+    def test_concurrent_consumption(self, tmp_path, rng):
+        """materialize_all runs load promises in a thread pool on multi-core
+        hosts, so get() must tolerate concurrent callers: the internal lock
+        serializes order bookkeeping and device calls."""
+        import threading
+
+        names = _gen_small_set(tmp_path, rng, n=16)
+        up = BulkUploader(self._specs(names), io.StringIO(),
+                          frame_bytes=24 * 32 * 2)
+        results: dict[str, object] = {}
+        errors: list[Exception] = []
+
+        def worker(sub):
+            try:
+                for n in sub:
+                    results[n] = up.get(n)
+            except Exception as e:  # noqa: BLE001 - surfaced in assertion
+                errors.append(e)
+
+        perm = list(rng.permutation(len(names)))
+        subs = [[names[i] for i in perm[j::4]] for j in range(4)]
+        threads = [threading.Thread(target=worker, args=(s,)) for s in subs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        for i, name in enumerate(names):
+            ref = nlfits.read_file(name, id=i, log=io.StringIO())
+            np.testing.assert_array_equal(np.asarray(results[name].data),
+                                          np.asarray(ref.data))
+
+    def test_group_limit_follows_signature(self, tmp_path, rng):
+        """A tiny leading file must not inflate groups of later large
+        frames: the per-group frame budget is derived from the group's OWN
+        signature, keeping every packed transfer under GROUP_BYTES."""
+        tiny = tmp_path / "a_tiny.fits"
+        _write_int16(tiny, rng.integers(0, 65535, size=(8, 8)).astype(np.uint16))
+        larges = []
+        for i in range(6):
+            p = tmp_path / f"b_large{i}.fits"
+            _write_int16(p, rng.integers(0, 65535, size=(64, 64)).astype(np.uint16))
+            larges.append(str(p))
+        names = [str(tiny)] + larges
+        up = BulkUploader(self._specs(names), io.StringIO(), frame_bytes=8 * 8 * 2)
+        up.GROUP_BYTES = 16384  # large sig (8192 B/frame) -> 2 frames/group
+        assert up._group_limit((16, (64, 64))) == 2
+        for name in names:
+            got = up.get(name)
+            ref = nlfits.read_file(name, log=io.StringIO())
+            np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
+        # 1 single-frame group for the tiny lead + 3 groups of 2 large
+        assert up.n_uploads == 4
+
     def test_try_create_gates(self, tmp_path, rng):
         names = _gen_small_set(tmp_path, rng, n=4)
         assert BulkUploader.try_create(self._specs(names), io.StringIO()) is not None

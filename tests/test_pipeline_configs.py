@@ -154,6 +154,11 @@ class TestOSCDebayerStack:
         np.testing.assert_allclose(a[m], b[m], rtol=0, atol=1e-3)
 
 
+class TestFusedDeband:
+    """Mono deband chain, fused-batch vs per-frame equivalence. Its own
+    class: this is NOT an OSC/debayer config and must not be counted (or
+    pruned) as one."""
+
     def test_fused_deband_matches_per_frame_path(self, tmp_path, rng, monkeypatch, capsys):
         """Deband stages inside the fused batch program vs the per-frame
         operators: identical logs (float tolerance) and stacked output."""
