@@ -33,6 +33,7 @@ Semantics match stack.go exactly where it matters:
 
 from __future__ import annotations
 
+import os as _os
 from enum import IntEnum
 from functools import partial
 
@@ -422,6 +423,38 @@ def stack_linear_fit(frames, ref_frame_loc, sigma_low, sigma_high):
 # ---------------------------------------------------------------------------
 
 
+def _xla_chunk_for(n: int) -> int:
+    """Pixels per lax.map step for the XLA fallback paths. The sort-based
+    modes materialize ~6 (N, chunk)-sized f32 temporaries (sorted values,
+    two prefix-sum arrays, sort workspace); unchunked at 12x16MP that is
+    several GB and OOM-kills the remote TPU worker. Bound the live set to
+    ~300MB regardless of frame count."""
+    env = _os.environ.get("NIGHTLIGHT_XLA_STACK_CHUNK", "")
+    if env:
+        return max(1, int(env))
+    budget = 300 * (1 << 20)
+    return max(1024, min(1 << 20, budget // (max(n, 1) * 4 * 6) // 1024 * 1024))
+
+
+def _map_pixel_chunks(fn, flat: jax.Array):
+    """Run a per-pixel stack `fn((N, chunk)) -> (data, clip_lo, clip_hi)`
+    over pixel chunks of `flat` (N, P) with lax.map, so the XLA path's
+    frame-axis sort/prefix temporaries stay bounded. Per-pixel results are
+    unchanged (every reduction runs along the frame axis); padding pixels
+    are NaN (count 0, no clip contribution) and cropped after."""
+    n, p = flat.shape
+    chunk = _xla_chunk_for(n)
+    if p <= chunk:
+        return fn(flat)
+    n_chunks = -(-p // chunk)
+    p_pad = n_chunks * chunk
+    if p_pad > p:
+        flat = jnp.pad(flat, ((0, 0), (0, p_pad - p)), constant_values=jnp.nan)
+    blocks = jnp.moveaxis(flat.reshape(n, n_chunks, chunk), 1, 0)
+    data, cl, ch = jax.lax.map(fn, blocks)
+    return data.reshape(p_pad)[:p], jnp.sum(cl), jnp.sum(ch)
+
+
 def _pallas_available() -> bool:
     """The Mosaic kernel path needs a real TPU backend (or interpret mode)."""
     try:
@@ -543,30 +576,37 @@ def stack(frames: jax.Array, mode: StackMode, weights=None,
             flat, ref_frame_loc, sigma_low, sigma_high, mad=True)
         return data.reshape(shape), cl, ch
     zero = jnp.int32(0)
-    if mode == StackMode.Median:
-        out = stack_median(flat, ref_frame_loc)
-        res = out, zero, zero
-    elif mode == StackMode.Mean:
+    if mode == StackMode.Mean:
+        # no frame-axis sort/prefix temporaries: run unchunked
         if weights is None:
             res = stack_mean(flat, ref_frame_loc), zero, zero
         else:
             res = stack_mean_weighted(flat, weights, ref_frame_loc), zero, zero
+    elif mode == StackMode.Median:
+        res = _map_pixel_chunks(
+            lambda fl: (stack_median(fl, ref_frame_loc), zero, zero), flat)
     elif mode == StackMode.Sigma:
         if weights is None:
-            res = stack_sigma(flat, ref_frame_loc, sigma_low, sigma_high)
+            res = _map_pixel_chunks(
+                lambda fl: stack_sigma(fl, ref_frame_loc, sigma_low, sigma_high), flat)
         else:
-            res = stack_sigma_weighted(flat, weights, ref_frame_loc, sigma_low, sigma_high)
+            res = _map_pixel_chunks(
+                lambda fl: stack_sigma_weighted(fl, weights, ref_frame_loc, sigma_low, sigma_high), flat)
     elif mode == StackMode.WinsorSigma:
         if weights is None:
-            res = stack_winsor_sigma(flat, ref_frame_loc, sigma_low, sigma_high)
+            res = _map_pixel_chunks(
+                lambda fl: stack_winsor_sigma(fl, ref_frame_loc, sigma_low, sigma_high), flat)
         else:
-            res = stack_winsor_sigma_weighted(flat, weights, ref_frame_loc, sigma_low, sigma_high)
+            res = _map_pixel_chunks(
+                lambda fl: stack_winsor_sigma_weighted(fl, weights, ref_frame_loc, sigma_low, sigma_high), flat)
     elif mode == StackMode.MADSigma:
         if weights is not None:
             raise NotImplementedError("MADSigma stacking with weights is unimplemented (as in the reference)")
-        res = stack_mad_sigma(flat, ref_frame_loc, sigma_low, sigma_high)
+        res = _map_pixel_chunks(
+            lambda fl: stack_mad_sigma(fl, ref_frame_loc, sigma_low, sigma_high), flat)
     elif mode == StackMode.LinearFit:
-        res = stack_linear_fit(flat, ref_frame_loc, sigma_low, sigma_high)
+        res = _map_pixel_chunks(
+            lambda fl: stack_linear_fit(fl, ref_frame_loc, sigma_low, sigma_high), flat)
     else:
         raise ValueError(f"invalid stacking mode {mode}")
     data, cl, ch = res

@@ -260,3 +260,37 @@ class TestIncremental:
         acc = stk.stack_incremental(acc, jnp.asarray(b), 5.0)
         out = stk.stack_incremental_finalize(acc, 8.0)
         np.testing.assert_allclose(np.asarray(out), (3 * a + 5 * b) / 8.0, rtol=1e-6)
+
+
+class TestChunkedFallback:
+    """The XLA fallback runs sort-based modes through lax.map pixel chunks
+    (stack._map_pixel_chunks) so its (N, P)-sized sort/prefix temporaries
+    stay bounded -- unchunked at 12x16MP they OOM-kill the TPU worker.
+    Per-pixel semantics must be unchanged: a tiny forced chunk size (one
+    that does not divide P, exercising the NaN pixel padding) must
+    reproduce the unchunked results exactly, including clip counts."""
+
+    @pytest.mark.parametrize("mode,weighted", [
+        (stk.StackMode.Median, False),
+        (stk.StackMode.Sigma, False), (stk.StackMode.Sigma, True),
+        (stk.StackMode.WinsorSigma, False), (stk.StackMode.WinsorSigma, True),
+        (stk.StackMode.MADSigma, False),
+        (stk.StackMode.LinearFit, False),
+    ])
+    def test_matches_unchunked(self, rng, monkeypatch, mode, weighted):
+        f = rand_frames(rng, n=9, p=53)
+        w = jnp.asarray(rng.uniform(0.5, 2.0, size=9).astype(np.float32)) if weighted else None
+        kw = dict(weights=w, sigma_low=2.0, sigma_high=2.2, ref_frame_loc=7.0,
+                  use_pallas=False)
+        monkeypatch.delenv("NIGHTLIGHT_XLA_STACK_CHUNK", raising=False)
+        base, bl, bh = stk.stack(jnp.asarray(f), mode, **kw)
+        monkeypatch.setenv("NIGHTLIGHT_XLA_STACK_CHUNK", "7")
+        out, cl, ch = stk.stack(jnp.asarray(f), mode, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   rtol=1e-6, atol=1e-4)
+        assert int(cl) == int(bl) and int(ch) == int(bh)
+
+    def test_chunk_scales_down_with_frame_count(self):
+        assert stk._xla_chunk_for(12) == 1 << 20
+        assert stk._xla_chunk_for(512) < 1 << 18
+        assert stk._xla_chunk_for(512) % 1024 == 0
