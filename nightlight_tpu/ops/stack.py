@@ -474,8 +474,9 @@ def stack_sharded(frames: jax.Array, mesh, mode: StackMode, weights=None,
     kernels PER SHARD.
 
     XLA's sharding propagation cannot auto-partition a pallas_call, so the
-    sharded pipeline used to fall back to the XLA stack path (440-4500x
-    slower than the kernels at 40 frames, BASELINE.md). shard_map hands each
+    sharded pipeline used to fall back to the XLA stack path (~130x slower
+    than the kernels for sigma-clip at 40 frames by honest completion-fetch
+    timing, BASELINE.md round-3 correction). shard_map hands each
     shard its local (N, rows/n, W) block explicitly: the reduction is
     per-pixel independent, so the kernel runs unmodified on the local block
     and only the scalar clip counters cross shards (one psum over ICI).
