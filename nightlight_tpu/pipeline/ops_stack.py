@@ -212,6 +212,9 @@ class OpStackBatches(Operator):
         # wiring-only (set by the CLI preset builder): fused whole-batch
         # preprocess replacing per_batch.steps[0]
         self.fused_spec = fused_spec
+        # raw-byte budget for next-batch upload prefetch; set by _partition
+        # when the run is multi-batch (double-buffered streaming)
+        self._prefetch_bytes = 0
 
     def to_dict(self) -> dict:
         return {"type": self.TYPE, "perBatch": self.per_batch.to_dict()}
@@ -239,8 +242,9 @@ class OpStackBatches(Operator):
         stack_frames = 0
         for b in range(num_batches):
             batch = ins_perm[b * batch_size : (b + 1) * batch_size]
+            next_batch = ins_perm[(b + 1) * batch_size : (b + 2) * batch_size]
             c.logf("\nStarting batch %d of %d with %d frames...\n", b + 1, num_batches, len(batch))
-            promises = self._batch_promises(batch, c)
+            promises = self._batch_promises(batch, c, next_batch=next_batch)
             if len(promises) != 1:
                 raise ValueError("stacking returned more than one promise")
             batch_img = promises[0]()
@@ -261,10 +265,9 @@ class OpStackBatches(Operator):
         return stack_img
 
     @staticmethod
-    def _announce_batch(batch) -> None:
-        """Tell a shared bulk-ingest loader this batch's load order so
-        upload grouping follows batch membership — an out-of-core run must
-        not upload other batches' frames (io/ingest.BulkUploader)."""
+    def _batch_loader(batch):
+        """(load order, bulk-ingest loader) discovered from a batch's load
+        promises (io/ingest.BulkUploader)."""
         names, loader = [], None
         for p in batch:
             op = getattr(p, "op", None)
@@ -272,10 +275,39 @@ class OpStackBatches(Operator):
             if fn:
                 names.append(fn)
                 loader = getattr(op, "_prefetcher", None) or loader
+        return names, loader
+
+    @classmethod
+    def _announce_batch(cls, batch) -> None:
+        """Tell a shared bulk-ingest loader this batch's load order so
+        upload grouping follows batch membership — an out-of-core run must
+        not upload other batches' frames (io/ingest.BulkUploader)."""
+        names, loader = cls._batch_loader(batch)
         if names and hasattr(loader, "reorder"):
             loader.reorder(names)
 
-    def _batch_promises(self, batch, c: Context):
+    def _prefetch_next(self, next_batch, c: Context) -> None:
+        """Double-buffered streaming (SURVEY §5): dispatch the NEXT batch's
+        host reads + H2D uploads now, so they stream over the wire while
+        THIS batch's preprocess/align/stack programs execute and sync. The
+        uploads stay undecoded in HBM (raw integer size) inside the memory
+        reserve _partition budgeted; the reference's batch loop is strictly
+        sequential because host RAM is its constraint (stackbatches.go:
+        56-107) — here the wire is, and it must never idle.
+        NIGHTLIGHT_NO_PREFETCH=1 disables (A/B control)."""
+        import os
+
+        if not next_batch or not self._prefetch_bytes \
+                or os.environ.get("NIGHTLIGHT_NO_PREFETCH"):
+            return
+        names, loader = self._batch_loader(next_batch)
+        if not names or not hasattr(loader, "prefetch_ahead"):
+            return
+        n = loader.prefetch_ahead(names, self._prefetch_bytes)
+        if n:
+            c.logf("Prefetched %d frames of the next batch during this batch's compute.\n", n)
+
+    def _batch_promises(self, batch, c: Context, next_batch=None):
         """Promise chain for one batch: the fused whole-batch executor when
         eligible (one device program + one sync for calibrate/badPixel/
         starDetect, models/fastpath.py), else the general per-frame DAG."""
@@ -290,6 +322,9 @@ class OpStackBatches(Operator):
         images, err = materialize_all(batch, c.max_threads, False)
         if err is not None:
             raise err
+        # this batch's uploads are dispatched (in flight); queue the next
+        # batch's behind them before any compute sync blocks this thread
+        self._prefetch_next(next_batch, c)
         wrapped = [lambda img=img: img for img in images]
         if not fused_batch_eligible(images, c):
             return self.per_batch.make_promises(wrapped, c)
@@ -342,6 +377,7 @@ class OpStackBatches(Operator):
         c.logf("%d images of %dx%d pixels (%.1f MPixels), which each take %d MiB in-memory"
                " as floating point.\n", num_frames, width, height, pixels * 1e-6, mib)
 
+        detect_ws_mb = 0
         if self.fused_spec is not None:
             # The fused executor donates the input batch (fastpath.py), so
             # its HBM peak is ~1x the frame pixels (repaired batch aliasing
@@ -370,32 +406,49 @@ class OpStackBatches(Operator):
         else:
             budget_mb = min(c.stack_memory_mb, self._device_memory_mb() * 6 // 10)
             available_frames = (budget_mb << 20) // nbytes
-        max_threads = c.max_threads
         c.logf("CPU has %d threads. Physical memory is %d MiB, -op.Memory is %d MiB,"
-               " this fits %d frames.\n", max_threads, c.memory_mb, c.stack_memory_mb,
+               " this fits %d frames.\n", c.max_threads, c.memory_mb, c.stack_memory_mb,
                available_frames)
 
-        num_batches = batch_size = 0
-        while max_threads >= 1:
-            batch_size = available_frames - max_threads
-            if c.dark_frame is not None:
+        def solve(avail):
+            max_threads = c.max_threads
+            num_batches = batch_size = 0
+            while max_threads >= 1:
+                batch_size = avail - max_threads
+                if c.dark_frame is not None:
+                    batch_size -= 1
+                if c.flat_frame is not None:
+                    batch_size -= 1
+                if batch_size < 2:
+                    max_threads -= 1
+                    continue
+                num_batches = (num_frames + batch_size - 1) // batch_size
+                if num_batches > 1:
+                    batch_size -= 2  # reference frame + stack of stacks
+                if batch_size < 2 or batch_size < max_threads:
+                    max_threads -= 1
+                    continue
+                break
+            if max_threads < 1 or batch_size < 2:
+                raise ValueError("Cannot find a stacking execution path within the given memory constraints.")
+            while (batch_size - 1) * num_batches >= num_frames:
                 batch_size -= 1
-            if c.flat_frame is not None:
-                batch_size -= 1
-            if batch_size < 2:
-                max_threads -= 1
-                continue
-            num_batches = (num_frames + batch_size - 1) // batch_size
-            if num_batches > 1:
-                batch_size -= 2  # reference frame + stack of stacks
-            if batch_size < 2 or batch_size < max_threads:
-                max_threads -= 1
-                continue
-            break
-        if max_threads < 1 or batch_size < 2:
-            raise ValueError("Cannot find a stacking execution path within the given memory constraints.")
-        while (batch_size - 1) * num_batches >= num_frames:
-            batch_size -= 1
+            return num_batches, batch_size, max_threads
+
+        num_batches, batch_size, max_threads = solve(available_frames)
+        self._prefetch_bytes = 0
+        if num_batches > 1 and self.fused_spec is not None:
+            # Double-buffered streaming reserve: the NEXT batch prefetches at
+            # raw integer size (~nbytes/2 per frame) while this batch still
+            # holds its f32 frames through the warp (2x nbytes margin), so
+            # the per-frame HBM budget grows from 2x to 2.5x. Re-solve with
+            # the reserve; prefetch is capped to the solved batch size.
+            dev_budget_mb = self._device_memory_mb() * 5 // 10
+            dev_frames_r = max(0, dev_budget_mb - detect_ws_mb) \
+                // max(1, 2 * mib + (mib + 1) // 2)
+            avail_r = min((c.stack_memory_mb << 20) // nbytes, dev_frames_r)
+            num_batches, batch_size, max_threads = solve(avail_r)
+            self._prefetch_bytes = batch_size * (nbytes // 2)
         c.logf("Using %d random batches of size %d with %d images in parallel.\n",
                num_batches, batch_size, max_threads)
 

@@ -157,6 +157,65 @@ class TestBulkUploader:
         # 1 single-frame group for the tiny lead + 3 groups of 2 large
         assert up.n_uploads == 4
 
+    def test_prefetch_ahead_respects_budget_and_order(self, tmp_path, rng):
+        """prefetch_ahead dispatches only ~max_bytes of a future batch's raw
+        payload; prefetched frames decode on first consumption and match the
+        per-frame reader bit for bit (double-buffered out-of-core ingest)."""
+        names = _gen_small_set(tmp_path, rng, n=12)
+        frame_bytes = 24 * 32 * 2
+        up = BulkUploader(self._specs(names), io.StringIO(), frame_bytes=frame_bytes)
+        up.GROUP_BYTES = 2 * frame_bytes  # small groups so the byte budget bites
+        batch1, batch2 = names[:6], names[6:]
+        up.reorder(batch1)
+        # prefetch ~2 groups (4 frames) of batch 2 while batch 1 is "computing"
+        n = up.prefetch_ahead(batch2, 4 * frame_bytes)
+        assert n == 4
+        assert all(nm not in up._pending for nm in batch2[:4])
+        assert all(nm in up._pending for nm in batch2[4:])
+        # batch-1 consumption is unaffected and batch-2 frames decode lazily
+        for nm in batch1 + batch2:
+            got = up.get(nm)
+            ref = nlfits.read_file(nm, log=io.StringIO())
+            np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
+            assert got.stats.mean == pytest.approx(ref.stats.mean, rel=1e-6)
+
+    def test_prefetch_ahead_zero_budget_is_noop(self, tmp_path, rng):
+        names = _gen_small_set(tmp_path, rng, n=6)
+        up = BulkUploader(self._specs(names), io.StringIO(), frame_bytes=24 * 32 * 2)
+        assert up.prefetch_ahead(names[3:], 0) == 0
+        assert all(nm in up._pending for nm in names)
+
+    def test_deferred_decode_single_get_decodes_whole_group(self, tmp_path, rng):
+        """Uploading is decode-free (_PendingGroup); the first get() of any
+        member dispatches one decode for the whole group."""
+        names = _gen_small_set(tmp_path, rng, n=4)
+        up = BulkUploader(self._specs(names), io.StringIO(), frame_bytes=24 * 32 * 2)
+        up.prefetch_ahead(names, 1 << 30)
+        from nightlight_tpu.io.ingest import _PendingGroup
+
+        assert isinstance(up._ready[names[0]], _PendingGroup)
+        got = up.get(names[2])  # middle member first
+        ref = nlfits.read_file(names[2], log=io.StringIO())
+        np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
+        # the other members are now decoded Images, not group handles
+        assert not isinstance(up._ready[names[0]], _PendingGroup)
+
+    def test_large_frames_group_of_one(self, tmp_path, rng):
+        """Frames above GROUP_BYTES/2 (16MP-class) now flow through the
+        uploader as single-frame groups instead of bypassing it (the
+        dispatch-ahead window + cross-batch prefetch are the win there)."""
+        names = _gen_small_set(tmp_path, rng, n=4, h=24, w=32)
+        frame_bytes = BulkUploader.GROUP_BYTES  # pretend frames are huge
+        up = BulkUploader.try_create(self._specs(names), io.StringIO())
+        assert up is not None
+        assert up._group_limit((16, (32, 24))) >= 1
+        big = BulkUploader(self._specs(names), io.StringIO(), frame_bytes=frame_bytes)
+        assert big.group_frames == 2  # floor: grouping never goes below 2
+        for nm in names:
+            got = big.get(nm)
+            ref = nlfits.read_file(nm, log=io.StringIO())
+            np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
+
     def test_try_create_gates(self, tmp_path, rng):
         names = _gen_small_set(tmp_path, rng, n=4)
         assert BulkUploader.try_create(self._specs(names), io.StringIO()) is not None

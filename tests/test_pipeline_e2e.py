@@ -336,6 +336,43 @@ class TestCalibrationAndIntermediateSaves:
         assert "dimensions" in out.lower() or "size" in out.lower(), out
 
 
+class TestOutOfCorePrefetch:
+    def test_prefetch_ab_identical(self, tmp_path, rng, capsys, monkeypatch):
+        """Double-buffered out-of-core ingest: a multi-batch stack with
+        next-batch upload prefetch is bit-identical to the sequential
+        control (NIGHTLIGHT_NO_PREFETCH=1). The randomized batch permutation
+        is seeded so both runs partition identically."""
+        import random
+
+        from nightlight_tpu.io.ingest import BulkUploader
+        from scripts.gen_fixtures import gen
+
+        gen(str(tmp_path), 10, 256)
+        os.remove(tmp_path / "dark.fits")  # lights only for this test
+        # scale the uploader's dispatch-ahead window down to test size so a
+        # later batch still has pending frames when prefetch fires (at real
+        # sizes the 6x32MB window is far smaller than a 16MP batch)
+        monkeypatch.setattr(BulkUploader, "GROUP_BYTES", 256 * 256 * 2)
+        monkeypatch.setattr(BulkUploader, "WINDOW", 1)
+        # 256x256 f32 = 256 KiB/frame; 2 MiB budget -> 2 batches of 5
+        args = ["-out", "s.fits", "-log", "", "-jpg", "", "-exportStats", "",
+                "-stMemory", "2", "stack", "light*.fits"]
+        random.seed(123)
+        rc = run_cli(list(args), tmp_path)
+        out_a = capsys.readouterr().out
+        assert rc == 0, out_a
+        assert "random batches" in out_a
+        assert "Prefetched" in out_a
+        a = (tmp_path / "s.fits").read_bytes()
+        monkeypatch.setenv("NIGHTLIGHT_NO_PREFETCH", "1")
+        random.seed(123)
+        rc = run_cli(list(args), tmp_path)
+        out_b = capsys.readouterr().out
+        assert rc == 0, out_b
+        assert "Prefetched" not in out_b
+        assert a == (tmp_path / "s.fits").read_bytes()
+
+
 class TestCLIWiring:
     def test_deband_binning_tiff(self, tmp_path, rng, capsys):
         """-debandH/-debandV, -binning, and -tiff flags through the stack DAG.
