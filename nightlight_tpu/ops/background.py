@@ -29,10 +29,17 @@ _GAUSS3X3_WEIGHTS = np.array([0.468592, 0.107973, 0.024879], np.float32)  # sigm
 
 
 class Background:
-    """Fitted background model (background.go:30-45)."""
+    """Fitted background model (background.go:30-45).
+
+    `_fitted_cells` (internal): a host (cells_y, cells_x) float32 array of
+    already-fitted raw cell levels, skipping the device fit + sync — used by
+    the fused batch executor, which fits every frame's cells with the SAME
+    per-frame device program and fetches them in one packed transfer
+    (fit_background_batch), so both paths stay bit-identical."""
 
     def __init__(self, img: jax.Array, grid_spacing: int, sigma: float,
-                 back_clip: int, stars, hfr_factor: float):
+                 back_clip: int, stars, hfr_factor: float,
+                 _fitted_cells: np.ndarray | None = None):
         h, w = img.shape
         self.width, self.height = w, h
         self.grid_spacing = int(grid_spacing)
@@ -42,10 +49,14 @@ class Background:
         self.spacing_y = h / self.cells_y
         self.outlier_cells = 0
 
-        star_mask = _star_mask(h, w, stars, hfr_factor)
-        cells = _fit_cells(img, jnp.asarray(star_mask), self.cells_x, self.cells_y,
-                           self.spacing_x, self.spacing_y, float(sigma))
-        cells = np.asarray(cells, np.float32).reshape(self.cells_y, self.cells_x)
+        if _fitted_cells is None:
+            star_mask = _star_mask(h, w, stars, hfr_factor)
+            cells = _fit_cells(img, star_mask, self.cells_x, self.cells_y,
+                               self.spacing_x, self.spacing_y, float(sigma))
+            cells = np.asarray(cells, np.float32).reshape(self.cells_y, self.cells_x)
+        else:
+            cells = np.asarray(_fitted_cells, np.float32).reshape(
+                self.cells_y, self.cells_x)
 
         if back_clip > 0:
             cells, self.outlier_cells = _clip_cells(cells, int(back_clip))
@@ -90,11 +101,21 @@ def _star_mask(h: int, w: int, stars, hfr_factor: float) -> np.ndarray:
     return mask
 
 
+def _unpack_mask_device(packed, h: int, w: int):
+    """(ceil(h*w/8),) uint8 -> (h, w) bool, matching np.packbits' MSB-first
+    bit order. The star mask uploads at 1 bit/pixel instead of 1 byte
+    (16.8 MB -> 2.1 MB per 16MP frame on a wire-bound tunnel)."""
+    shifts = (7 - jnp.arange(8, dtype=jnp.uint8))[None, :]
+    bits = (packed[:, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(-1)[: h * w].reshape(h, w).astype(bool)
+
+
 @partial(jax.jit, static_argnames=("cells_x", "cells_y", "max_ch", "max_cw"))
-def _fit_cells_device(img, star_mask, cells_x: int, cells_y: int,
+def _fit_cells_device(img, star_mask_packed, cells_x: int, cells_y: int,
                       y_slice, x_slice, y_starts, x_starts, y_ends, x_ends,
                       sigma: float, max_ch: int, max_cw: int):
     big = jnp.float32(3.4e38)
+    star_mask = _unpack_mask_device(star_mask_packed, *img.shape)
 
     def fit_one(ysl, xsl, ys, xs, ye, xe):
         patch = jax.lax.dynamic_slice(img, (ysl, xsl), (max_ch, max_cw))
@@ -127,6 +148,10 @@ def _fit_cells_device(img, star_mask, cells_x: int, cells_y: int,
 
 
 def _fit_cells(img, star_mask, cells_x, cells_y, spacing_x, spacing_y, sigma):
+    """Dispatch the per-frame cell fit; star_mask is a HOST bool (h, w)
+    array, uploaded bit-packed. Returns the (cells,) device array WITHOUT
+    syncing (callers fetch — Background immediately, the fused batch
+    executor in one packed transfer for all frames)."""
     ys, xs, ye, xe = [], [], [], []
     h, w = img.shape
     max_ch = max_cw = 0
@@ -148,8 +173,9 @@ def _fit_cells(img, star_mask, cells_x, cells_y, spacing_x, spacing_y, sigma):
     xs_np = np.array(xs, np.int32)
     ys_c = np.minimum(ys_np, h - max_ch)
     xs_c = np.minimum(xs_np, w - max_cw)
+    packed_mask = np.packbits(np.asarray(star_mask, bool).reshape(-1))
     return _fit_cells_device(
-        img, star_mask, cells_x, cells_y,
+        img, jnp.asarray(packed_mask), cells_x, cells_y,
         jnp.asarray(ys_c), jnp.asarray(xs_c),
         jnp.asarray(ys_np), jnp.asarray(xs_np),
         jnp.asarray(np.array(ye, np.int32)), jnp.asarray(np.array(xe, np.int32)),
@@ -253,3 +279,33 @@ def _render(cells: jax.Array, height: int, width: int, spacing_x: float, spacing
     xlo, xfrac = _axis_mapping(width, cx, spacing_x)
     return _render_device(cells, jnp.asarray(ylo), jnp.asarray(yfrac),
                           jnp.asarray(xlo), jnp.asarray(xfrac), height, width)
+
+
+def fit_background_batch(datas, stars_list, grid_spacing: int, sigma: float,
+                         back_clip: int, hfr_factor: float) -> list:
+    """Backgrounds for a whole frame batch with ONE device sync.
+
+    Dispatches the SAME per-frame cell-fit program Background.__init__ uses
+    (async, launches are free — BASELINE.md), fetches every frame's raw
+    cells in one packed transfer, and finishes each frame's host-side grid
+    fixups (outlier clip + gauss) through the normal constructor — so the
+    fused batch executor's results are bit-identical to the per-frame
+    OpBackExtract path, per frame. Returns a list of Background objects.
+    """
+    fits = []
+    for img, stars in zip(datas, stars_list):
+        h, w = img.shape
+        cells_x = int((w + grid_spacing // 2) // grid_spacing)
+        cells_y = int((h + grid_spacing // 2) // grid_spacing)
+        mask = _star_mask(h, w, stars, hfr_factor)
+        fits.append(_fit_cells(img, mask, cells_x, cells_y,
+                               w / cells_x, h / cells_y, float(sigma)).reshape(-1))
+    packed = np.asarray(jnp.concatenate(fits))  # the ONE batch sync
+    bgs = []
+    off = 0
+    for img, stars, fit in zip(datas, stars_list, fits):
+        n = fit.shape[0]
+        bgs.append(Background(img, grid_spacing, sigma, back_clip, stars,
+                              hfr_factor, _fitted_cells=packed[off:off + n]))
+        off += n
+    return bgs

@@ -45,6 +45,11 @@ class FusedPreprocessSpec:
     # deband stages as (percentile, window, sigma) or None (banding.go)
     deband_h: tuple | None = None
     deband_v: tuple | None = None
+    # automated background extraction (background.go:30-515); grid 0 = off
+    back_grid: int = 0
+    back_sigma: float = 1.5
+    back_clip: int = 0
+    back_hfr_factor: float = 4.0
 
 
 @register
@@ -206,12 +211,16 @@ class OpStackBatches(Operator):
     PARAMS = {}
 
     def __init__(self, per_batch: OpSequence | None = None,
-                 fused_spec: FusedPreprocessSpec | None = None, **kwargs):
+                 fused_spec: FusedPreprocessSpec | None = None,
+                 fused_reason: str | None = None, **kwargs):
         super().__init__(**kwargs)
         self.per_batch = per_batch or OpSequence()
         # wiring-only (set by the CLI preset builder): fused whole-batch
-        # preprocess replacing per_batch.steps[0]
+        # preprocess replacing per_batch.steps[0]; fused_reason says WHY the
+        # fused path is unavailable when fused_spec is None (logged once per
+        # batch so losing the fast path is never silent)
         self.fused_spec = fused_spec
+        self.fused_reason = fused_reason
         # raw-byte budget for next-batch upload prefetch; set by _partition
         # when the run is multi-batch (double-buffered streaming)
         self._prefetch_bytes = 0
@@ -310,9 +319,14 @@ class OpStackBatches(Operator):
     def _batch_promises(self, batch, c: Context, next_batch=None):
         """Promise chain for one batch: the fused whole-batch executor when
         eligible (one device program + one sync for calibrate/badPixel/
-        starDetect, models/fastpath.py), else the general per-frame DAG."""
+        starDetect, models/fastpath.py), else the general per-frame DAG.
+        Every fallback to the per-frame path logs its reason (a config one
+        flag away from the fused path must be able to tell it lost it)."""
         self._announce_batch(batch)
         if self.fused_spec is None or not self.per_batch.steps:
+            if self.per_batch.steps and self.fused_reason:
+                c.logf("Fused batch executor off (%s); using the per-frame "
+                       "operator path.\n", self.fused_reason)
             return self.per_batch.make_promises(batch, c)
 
         from nightlight_tpu.models.fastpath import (
@@ -326,7 +340,10 @@ class OpStackBatches(Operator):
         # batch's behind them before any compute sync blocks this thread
         self._prefetch_next(next_batch, c)
         wrapped = [lambda img=img: img for img in images]
-        if not fused_batch_eligible(images, c):
+        eligible, reason = fused_batch_eligible(images, c)
+        if not eligible:
+            c.logf("Fused batch executor off (%s); using the per-frame "
+                   "operator path.\n", reason)
             return self.per_batch.make_promises(wrapped, c)
         run_fused_preprocess(images, c, self.fused_spec)
         tail = OpSequence(steps=list(self.per_batch.steps[1:]))

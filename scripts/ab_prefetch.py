@@ -59,7 +59,10 @@ def main():
 
     walls_a, walls_b = [], []
     for p in range(pairs):
-        for prefetch in (True, False):
+        # counterbalanced order: the tunnel band drifts within a session, so
+        # a fixed A-then-B order would bias whichever side runs second
+        order = (True, False) if p % 2 == 0 else (False, True)
+        for prefetch in order:
             dt = run_pass(args, prefetch)
             assert open("stacked.fits", "rb").read() == golden, \
                 "output changed between prefetch/control passes"

@@ -104,6 +104,66 @@ class TestFusedStackEngine:
 
         assert content(log_f) == content(log_p)
 
+    def test_fused_backextract_equals_per_frame(self, tmp_path, monkeypatch):
+        """ABE inside the fused executor (VERDICT r3 item 6): -backGrid runs
+        fused with the same Background log lines and output as the per-frame
+        OpBackExtract path (the cell fits use the identical per-frame device
+        program; only the sync is batched)."""
+        import re
+
+        from nightlight_tpu.io import fits as nlfits
+        from tests.test_pipeline_e2e import run_cli, write_frames
+
+        def run(fused, out_name):
+            if fused:
+                monkeypatch.delenv("NIGHTLIGHT_NO_FUSED", raising=False)
+            else:
+                monkeypatch.setenv("NIGHTLIGHT_NO_FUSED", "1")
+            rng = np.random.default_rng(42)
+            write_frames(tmp_path, rng, n_frames=3)
+            log_path = tmp_path / f"{out_name}.log"
+            rc = run_cli(["-out", out_name, "-jpg", "", "-exportStats", "",
+                          "-backGrid", "64", "-backClip", "2",
+                          "-log", str(log_path), "stack", "light*.fits"], tmp_path)
+            assert rc == 0
+            return (tmp_path / out_name), log_path.read_text()
+
+        out_f, log_f = run(True, "fused_abe.fits")
+        out_p, log_p = run(False, "plain_abe.fits")
+        assert "Background grid 64" in log_f
+        # the fused run must actually be fused, not silently fallen back
+        assert "Fused batch executor off" not in log_f
+
+        a = np.asarray(nlfits.read_file(str(out_f)).data)
+        b = np.asarray(nlfits.read_file(str(out_p)).data)
+        m = ~np.isnan(a)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        np.testing.assert_allclose(a[m], b[m], rtol=0, atol=1e-4)
+
+        def bg_lines(log):
+            return sorted(
+                re.sub(r"-?\d+\.\d+", lambda mt: f"{float(mt.group()):.5g}", ln)
+                for ln in log.splitlines() if "Background grid" in ln)
+
+        assert bg_lines(log_f) == bg_lines(log_p)
+        assert len(bg_lines(log_f)) == 3
+
+    def test_fallback_reason_is_logged(self, tmp_path, monkeypatch):
+        """Losing the fused path is never silent (VERDICT r3 weak #6): a
+        per-frame save pattern forces the per-frame DAG and says so."""
+        from tests.test_pipeline_e2e import run_cli, write_frames
+
+        monkeypatch.delenv("NIGHTLIGHT_NO_FUSED", raising=False)
+        rng = np.random.default_rng(3)
+        write_frames(tmp_path, rng, n_frames=2)
+        log_path = tmp_path / "fb.log"
+        rc = run_cli(["-out", "o.fits", "-jpg", "", "-exportStats", "",
+                      "-pre", "pre%04d.fits",
+                      "-log", str(log_path), "stack", "light*.fits"], tmp_path)
+        assert rc == 0
+        text = log_path.read_text()
+        assert "Fused batch executor off (per-frame save pattern" in text
+
     def test_fused_is_active_by_default(self, tmp_path, monkeypatch, capsys):
         """Guard against the eligibility gate silently disabling the fused
         engine: the canonical stack args must route through it."""
