@@ -1,15 +1,19 @@
 """Benchmark: 16MP frames/sec through the flagship stacking path.
 
-Emits THREE JSON lines:
+Emits SIX JSON lines (one per BASELINE config family):
 1. the device stacking path (calibrate + histogram-match + sigma-clip over
    device-resident frame chunks -- the shape the out-of-core engine uses);
 2. a 12x16MP end-to-end CLI `stack` pass (decode, dark-calibrate, bad-pixel,
    star detect, reference selection, histogram match, align + warp,
    goal-seek sigma-clip stack, FITS save), measured warm (second in-process
    pass; remote compile cache is persistent);
-3. the LITERAL NORTH STAR (BASELINE.md): 100x16MP through the out-of-core
-   batching engine (>=2 randomized batches on a 16 GB chip, double-buffered
-   next-batch upload prefetch).
+3. config #2: the LRGB `rgb` pipeline at 4x16MP (combine + balance + the
+   13-op HSL chain + stretch + saves);
+4. config #3: one-shot-color RGGB debayer + winsorized stack at 12x16MP;
+5. config #4: the narrowband Hubble-palette composite at 3x16MP;
+6. the LITERAL NORTH STAR (BASELINE.md), LAST so the driver records it:
+   100x16MP through the out-of-core batching engine (>=2 randomized
+   batches on a 16 GB chip, double-buffered next-batch upload prefetch).
 
 Every line embeds the H2D/D2H bandwidth measured through the SAME tunnel
 adjacent to that phase (h2d_mbps / d2h_mbps): the tunnel band swings 30x
@@ -143,6 +147,131 @@ def bench_e2e(n_frames: int = 12, size: int = 4096, best_of: int = 5,
     finally:
         os.chdir(cwd)
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _timed_cli(args, budget_s: float, passes: int = 2) -> float:
+    """Warm-up + timed in-process CLI passes (min wall); stops early once
+    over budget (bad tunnel bands — every caller still gets >=1 pass)."""
+    import contextlib
+    import sys
+
+    from nightlight_tpu import cli
+
+    elapsed = float("inf")
+    t_phase = time.perf_counter()
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(sys.stderr):
+            rc = cli.main(list(args))
+        if rc != 0:
+            raise SystemExit(f"bench CLI run failed (rc={rc}): {args}")
+        elapsed = min(elapsed, time.perf_counter() - t0)
+        if _over_budget(t_phase, budget_s):
+            break
+    return elapsed
+
+
+def _in_tmpdir(fn):
+    import shutil
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="nl_bench_cfg_")
+    cwd = os.getcwd()
+    try:
+        return fn(tmpdir)
+    finally:
+        os.chdir(cwd)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def bench_rgb(size: int = 4096) -> None:
+    """BASELINE config #2: the flagship `rgb` command on 4x16MP stacked
+    LRGB masters — RGB combine, auto balance, RGB->HSLuv, the 13-op HSL
+    chain (incl. auto-stretch), HSLuv->RGB, FITS+JPEG saves (reference
+    cmd/nightlight/main.go:358-392)."""
+    from scripts.gen_fixtures import gen_channels
+
+    def run(tmpdir):
+        gen_channels(tmpdir, size)
+        band = measure_band()
+        os.chdir(tmpdir)
+        wall = _timed_cli(["-out", "rgb.fits", "-log", "", "-jpg", "rgb.jpg",
+                           "-exportStats", "", "rgb", "chan_l.fits",
+                           "chan_r.fits", "chan_g.fits", "chan_b.fits"], 420.0)
+        mp = f"{size * size / 1e6:.1f}MP"
+        print(json.dumps({
+            "metric": f"LRGB rgb pipeline wall (4x{mp}: combine+balance+"
+                      "13-op HSL chain+stretch+saves)",
+            "value": round(wall, 2),
+            "unit": "sec",
+            "vs_baseline": round(10.0 / wall, 3),  # vs a nominal 10 s wall
+            "wire_h2d_mb": round(4 * size * size * 2 / (1 << 20), 1),
+            **band,
+        }), flush=True)
+
+    _in_tmpdir(run)
+
+
+def bench_bayer(n_frames: int = 12, size: int = 4096) -> None:
+    """BASELINE config #3 (arp316 shape): one-shot-color RGGB lights
+    through CFA-aware cosmetic correction, single-channel debayer, and a
+    winsorized sigma stack (reference internal/ops/pre/debayer.go:26-263,
+    stack.go:611-705)."""
+    from scripts.gen_fixtures import gen
+
+    def run(tmpdir):
+        gen(tmpdir, n_frames, size, dither=6.0, bayer="RGGB")
+        band = measure_band()
+        os.chdir(tmpdir)
+        wall = _timed_cli(["-out", "osc.fits", "-log", "", "-jpg", "",
+                           "-exportStats", "", "-dark", "dark.fits",
+                           "-debayer", "G", "-cfa", "RGGB", "-stMode", "3",
+                           "stack", "light*.fits"], 420.0)
+        fps = n_frames / wall
+        mp = f"{size * size / 1e6:.1f}MP"
+        print(json.dumps({
+            "metric": f"{mp} OSC frames/sec (debayer G + winsorized stack, "
+                      f"{n_frames}x{mp} RGGB)",
+            "value": round(fps, 3),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 10.0, 3),
+            "wire_h2d_mb": round((n_frames + 1) * size * size * 2 / (1 << 20), 1),
+            **band,
+        }), flush=True)
+
+    _in_tmpdir(run)
+
+
+def bench_narrowband(size: int = 4096) -> None:
+    """BASELINE config #4 (NGC7635 shape): Hubble-palette narrowband
+    composite — SHO masters through `rgb` with background neutralization,
+    SCNR, selective saturation, and hue rotation active."""
+    from scripts.gen_fixtures import gen_channels
+
+    def run(tmpdir):
+        gen_channels(tmpdir, size, channels=(("s", 0.9), ("h", 1.0), ("o", 0.7)))
+        band = measure_band()
+        os.chdir(tmpdir)
+        wall = _timed_cli(["-out", "nb.fits", "-log", "", "-jpg", "nb.jpg",
+                           "-exportStats", "",
+                           "-neutSigmaLow", "0.7", "-neutSigmaHigh", "1.0",
+                           "-scnr", "0.5", "-chromaBy", "1.2",
+                           "-chromaFrom", "295", "-chromaTo", "40",
+                           "-rotFrom", "100", "-rotTo", "190", "-rotBy", "-30",
+                           "rgb", "chan_s.fits", "chan_h.fits", "chan_o.fits"],
+                          420.0)
+        mp = f"{size * size / 1e6:.1f}MP"
+        print(json.dumps({
+            "metric": f"Narrowband Hubble-palette composite wall (3x{mp} SHO "
+                      "through rgb + neutralize/SCNR/hue-rotate)",
+            "value": round(wall, 2),
+            "unit": "sec",
+            "vs_baseline": round(10.0 / wall, 3),  # vs a nominal 10 s wall
+            "wire_h2d_mb": round(3 * size * size * 2 / (1 << 20), 1),
+            **band,
+        }), flush=True)
+
+    _in_tmpdir(run)
 
 
 def bench_northstar(n_frames: int = 100, size: int = 4096) -> None:
@@ -297,7 +426,10 @@ def main() -> None:
     }), flush=True)
 
     bench_e2e(band=measure_band())
-    bench_northstar()
+    bench_rgb()
+    bench_bayer()
+    bench_narrowband()
+    bench_northstar()  # LAST: the driver records the final line
 
 
 if __name__ == "__main__":

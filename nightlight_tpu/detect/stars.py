@@ -158,7 +158,7 @@ def _center_of_mass(img, cy0, cx0, x0, y0, threshold, radius: int,
     big = 2 * radius  # window radius + max tracked drift
     size = 2 * big + 1
     if use_pallas_gather:
-        # per-candidate DMA instead of XLA's element-wise gather (~60x,
+        # per-candidate DMA instead of XLA's element-wise gather (9x,
         # ops/gather_pallas.py); identical mask contract
         from nightlight_tpu.ops.gather_pallas import gather_patches_pallas
 

@@ -7,7 +7,9 @@ findstars.go:274-396) costs ~230ms per 16MP frame that way -- 93% of the
 whole detection program. Patches are contiguous rectangles, which is
 exactly what the TPU's DMA engines are for: this kernel issues one small
 async copy per candidate from an (8,128)-aligned window and rotates the
-residual offset in VMEM (pltpu.roll), ~60x faster (4ms/frame at K=2048).
+residual offset in VMEM (pltpu.roll), 9x faster (35.4 -> 3.9 ms/frame at
+K=2048, completion-fetch timing, scripts/microbench_warp_gather.py;
+round 2's ~60x used the dispatch-biased clock).
 
 Boundary handling matches _patches' mask contract: windows are clamped to
 the image, so out-of-frame elements hold wrapped (arbitrary) values and the

@@ -65,8 +65,10 @@ def _warp_shift_impl(img: jax.Array, inv: jax.Array, out_of_bounds,
     source offset floor(px) - col takes only a few distinct values across
     the whole image: bilinear interpolation becomes a blend of a handful of
     SHIFTED copies of the image (dynamic slices of a padded copy) with
-    per-pixel one-hot weights -- pure vector math, ~1000x faster than the
-    gather. Numerically identical to _warp: same px/py, same floor/fraction
+    per-pixel one-hot weights -- pure vector math, 164x faster than the
+    gather (completion-fetch measured 882 ms vs 5.4 ms per 16MP frame,
+    scripts/microbench_warp_gather.py; round 2's ~1000x used the
+    dispatch-biased clock). Numerically identical to _warp: same px/py, same floor/fraction
     arithmetic, same out-of-bounds rule; only the addressing differs.
 
     kmin/mmin: smallest integer column/row offset (traced scalars, so one

@@ -84,7 +84,7 @@ class OpAlign(UnaryOperator):
         # wiring-only (set by the CLI stack preset): postpone the projection
         # to the stack/save barrier, where the transform is host-resolved
         # anyway for the drop decision -- the warp then runs through the
-        # gather-free shift-blend path (ops/resample.py), ~1000x faster than
+        # gather-free shift-blend path (ops/resample.py), 164x faster than
         # the on-device gather warp for alignment-sized transforms. Only
         # valid when every downstream consumer applies check_align_drop
         # before reading frame data (OpStack and OpSave do).
@@ -230,7 +230,7 @@ class OpAlign(UnaryOperator):
             else:
                 # resolve the transform now (one batched pool flush) and warp
                 # through the host-transform path: for alignment-sized
-                # transforms the gather-free shift-blend warp is ~1000x
+                # transforms the gather-free shift-blend warp is 164x
                 # faster than the on-device gather, far outweighing the
                 # flush round trip
                 import numpy as np
