@@ -30,6 +30,12 @@ tpu-test:
 parity:
 	$(PY) scripts/parity.py $(UPDATE)
 
+# 16MP-scale parity for the rgb path (VERDICT r3 item 4): same harness,
+# 4096px fixtures, separate .s4096 goldens -- catches scale-dependent
+# numerics (subsample strides, histogram bins, balance block grids)
+parity-big:
+	$(PY) scripts/parity.py --size 4096 --jobs rgb_full $(UPDATE)
+
 # build the native C FITS codec explicitly (also built lazily on first use)
 native:
 	$(PY) -c "from nightlight_tpu.native import fitsio; print('native codec:', 'ok' if fitsio._load() else 'unavailable (numpy fallback)')"

@@ -237,6 +237,11 @@ def main(argv=None) -> int:
     if args.log:
         log_file = open(args.log, "w")
         log_writer = MultiWriter(sys.stdout, log_file)
+    if os.environ.get("NIGHTLIGHT_LOG_TIMES"):
+        # phase attribution: stamp each line with elapsed wall seconds
+        from nightlight_tpu.utils.logging import TimestampWriter
+
+        log_writer = TimestampWriter(log_writer)
 
     args.jpg = auto_fill(args.jpg, args.out, ".jpg")
     args.tiff = auto_fill(args.tiff, args.out, ".tif")

@@ -228,21 +228,45 @@ def _debayer_green(img: jax.Array, xo: int, yo: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _masked_median_stack(stack: jax.Array, valid: jax.Array) -> jax.Array:
-    """Median over axis 0 of `stack` counting only `valid` entries.
+# 25-comparator sorting network for 9 inputs (verified against all 2^9
+# 0-1 vectors in tests/test_prestack.py). Kept as compare-exchanges over
+# SEPARATE (H,W) planes: jnp.sort over a stacked (9,H,W) axis materializes
+# the stack PLUS a same-shape iota, and the 9-axis pads to 16 sublanes —
+# 2x12 GB of HLO temps at 12x16MP (the round-4 bayer-bench OOM). The
+# pairwise min/max chain fuses into one loop pass with no stacked temp.
+_SORT9_NET = [(0, 1), (3, 4), (6, 7),
+              (1, 2), (4, 5), (7, 8),
+              (0, 1), (3, 4), (6, 7),
+              (0, 3), (3, 6), (0, 3),
+              (1, 4), (4, 7), (1, 4),
+              (2, 5), (5, 8), (2, 5),
+              (1, 3), (5, 7),
+              (2, 6), (4, 6), (2, 4),
+              (2, 3), (5, 6)]
 
-    Invalid entries are pushed to +inf before sorting; the median index is
-    (count-1)//2 ... matching median.MedianFloat32 -> QSelectMedianFloat32
-    semantics (average of middles for even counts).
-    """
+
+def _masked_median9(stacks: list[jax.Array], valids: list[jax.Array]) -> jax.Array:
+    """Elementwise median of 9 planes counting only `valids` entries.
+
+    Invalid entries are pushed to +inf before the network sort; the median
+    index is (count-1)//2 ... matching median.MedianFloat32 ->
+    QSelectMedianFloat32 semantics (average of middles for even counts).
+    Rank selection is a 9-way where-chain (elementwise, fusible) instead of
+    a take_along_axis gather."""
     big = jnp.float32(3.4e38)
-    s = jnp.sort(jnp.where(valid, stack, big), axis=0)
-    cnt = jnp.sum(valid, axis=0)
-    n = stack.shape[0]
-    up_idx = jnp.clip(cnt // 2, 0, n - 1)
-    lo_idx = jnp.clip(jnp.maximum(cnt // 2 - 1, 0), 0, n - 1)
-    upper = jnp.take_along_axis(s, up_idx[None], axis=0)[0]
-    lower = jnp.take_along_axis(s, lo_idx[None], axis=0)[0]
+    v = [jnp.where(m, s, big) for s, m in zip(stacks, valids)]
+    for i, j in _SORT9_NET:
+        v[i], v[j] = _sort2(v[i], v[j])
+    cnt = valids[0].astype(jnp.int32)
+    for m in valids[1:]:
+        cnt = cnt + m.astype(jnp.int32)
+    up_idx = jnp.clip(cnt // 2, 0, 8)
+    lo_idx = jnp.clip(jnp.maximum(cnt // 2 - 1, 0), 0, 8)
+    upper = v[0]
+    lower = v[0]
+    for k in range(1, 9):
+        upper = jnp.where(up_idx == k, v[k], upper)
+        lower = jnp.where(lo_idx == k, v[k], lower)
     return jnp.where(cnt % 2 == 1, upper, 0.5 * (lower + upper))
 
 
@@ -276,7 +300,7 @@ def _bayer_channel_correct(img: jax.Array, xo: int, yo: int, green: bool,
         s, v = _shifted(img, dy, dx)
         stacks.append(s)
         valids.append(v)
-    med = _masked_median_stack(jnp.stack(stacks), jnp.stack(valids))
+    med = _masked_median9(stacks, valids)
 
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]

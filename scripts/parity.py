@@ -26,6 +26,11 @@ regression that keeps the log plausible still fails the harness.
 Usage:
   python scripts/parity.py            # run + diff against goldens
   python scripts/parity.py --update   # regenerate goldens from this run
+  python scripts/parity.py --size 4096 --jobs rgb_full
+      # 16MP-scale run (VERDICT r3 item 4): same jobs against separate
+      # <name>.s4096.* goldens -- pins scale-DEPENDENT numerics (subsample
+      # strides, histogram binning, block grids) that 256px fixtures
+      # cannot see; `make parity-big` runs the rgb-path job this way
 """
 
 from __future__ import annotations
@@ -51,9 +56,11 @@ _TPU_MODE = False
 _NUM_RE = re.compile(r"[-+]?\d+\.?\d*(?:[eE][-+]?\d+)?")
 
 
-def _make_fixtures(workdir: str) -> None:
+def _make_fixtures(workdir: str, size: int = 256) -> None:
     """Deterministic small star-field fixtures (seeded), plus R/G/B channel
-    frames for the rgb job."""
+    frames for the rgb job. Star positions scale with `size` so big-fixture
+    runs keep the field spread; --size != 256 therefore has its own
+    goldens."""
     sys.path.insert(0, REPO)
     import numpy as np
 
@@ -61,9 +68,11 @@ def _make_fixtures(workdir: str) -> None:
     from nightlight_tpu.io import fits as nlfits
 
     rng = np.random.default_rng(20260816)
-    h = w = 256
-    pos = [(40, 60), (100, 75), (200, 150), (60, 200), (165, 40),
-           (220, 220), (130, 230), (75, 130), (190, 90), (30, 30)]
+    h = w = size
+    k = size / 256.0
+    pos = [(int(x * k), int(y * k)) for (x, y) in
+           [(40, 60), (100, 75), (200, 150), (60, 200), (165, 40),
+            (220, 220), (130, 230), (75, 130), (190, 90), (30, 30)]]
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     s = 8.0 / 2.3548
     for i in range(4):
@@ -195,6 +204,16 @@ def main() -> int:
 
     update = "--update" in sys.argv
     _TPU_MODE = "--tpu" in sys.argv
+    size = 256
+    only_jobs: set[str] | None = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--size":
+            size = int(argv[i + 1])
+        elif a == "--jobs":
+            only_jobs = set(argv[i + 1].split(","))
+    # non-default sizes pin their own goldens (stats/grids are size-dependent)
+    suffix = "" if size == 256 else f".s{size}"
     if "--tpu" not in sys.argv:
         # Deterministic CPU run by default. The environment's sitecustomize
         # imports jax at interpreter startup with the TPU backend, so the
@@ -210,7 +229,7 @@ def main() -> int:
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
-        _make_fixtures(workdir)
+        _make_fixtures(workdir, size)
 
         from nightlight_tpu.serve.rest import make_server
 
@@ -220,6 +239,8 @@ def main() -> int:
         url = f"http://127.0.0.1:{srv.server_address[1]}/api/v1/job"
 
         jobs = sorted(f for f in os.listdir(PARITY_DIR) if f.endswith(".json"))
+        if only_jobs is not None:
+            jobs = [f for f in jobs if f[:-5] in only_jobs]
         if not jobs:
             print("no parity jobs found in", PARITY_DIR)
             return 2
@@ -230,15 +251,15 @@ def main() -> int:
             with open(os.path.join(PARITY_DIR, job_file)) as fh:
                 spec = json.load(fh)
             body = _post_job(url, spec)
-            out_path = os.path.join(PARITY_DIR, f"{name}.out")
+            out_path = os.path.join(PARITY_DIR, f"{name}{suffix}.out")
             with open(out_path, "w") as fh:
                 fh.write(body)
             digest = _digest_outputs(workdir, fixtures)
             # remove this job's outputs so the next job's digest is its own
             for fn in set(os.listdir(workdir)) - fixtures:
                 os.unlink(os.path.join(workdir, fn))
-            golden_path = os.path.join(PARITY_DIR, f"{name}.expected")
-            digest_path = os.path.join(PARITY_DIR, f"{name}.digest")
+            golden_path = os.path.join(PARITY_DIR, f"{name}{suffix}.expected")
+            digest_path = os.path.join(PARITY_DIR, f"{name}{suffix}.digest")
             if update:
                 with open(golden_path, "w") as fh:
                     fh.write(body)

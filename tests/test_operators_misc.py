@@ -113,3 +113,31 @@ class TestOpSequence:
         d = OpSequence(steps=[OpSave(file_pattern="x.fits")]).to_dict()
         s = json.dumps(d)
         assert '"type": "seq"' in s and '"steps"' in s
+
+
+class TestTimestampWriter:
+    """NIGHTLIGHT_LOG_TIMES phase attribution (utils/logging.py)."""
+
+    def test_prefixes_each_line_once(self):
+        import io
+
+        from nightlight_tpu.utils.logging import TimestampWriter
+
+        sink = io.StringIO()
+        ticks = iter([0.0, 1.5, 12.345])
+        w = TimestampWriter(sink, clock=lambda: next(ticks))
+        w.write("first\nsec")
+        w.write("ond\n")
+        out = sink.getvalue().splitlines()
+        assert out[0] == "[+    1.50s] first"
+        assert out[1] == "[+   12.35s] second"
+
+    def test_blank_lines_unstamped(self):
+        import io
+
+        from nightlight_tpu.utils.logging import TimestampWriter
+
+        sink = io.StringIO()
+        w = TimestampWriter(sink, clock=lambda: 0.0)
+        w.write("\n\nx\n")
+        assert sink.getvalue() == "\n\n[+    0.00s] x\n"

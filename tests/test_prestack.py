@@ -167,3 +167,46 @@ class TestBayerCosmetic:
         out = np.asarray(out)
         assert int(n) == 1
         assert out[5, 7] == pytest.approx(25.0)
+
+
+class TestMaskedMedian9Network:
+    """The CFA cosmetic median runs as a 25-comparator network over separate
+    planes (the stacked jnp.sort form OOMed the chip at 12x16MP: the (9,H,W)
+    temp plus its sort iota pad the 9-axis to 16 sublanes = 24 GB of HLO
+    temps). Pin the network against the straightforward stacked-sort form."""
+
+    def test_network_sorts_all_01_inputs(self):
+        # 0-1 principle: a comparator network sorts iff it sorts 0-1 inputs
+        import itertools
+
+        from nightlight_tpu.ops.prestack import _SORT9_NET
+        for bits in itertools.product([0, 1], repeat=9):
+            v = list(bits)
+            for i, j in _SORT9_NET:
+                if v[i] > v[j]:
+                    v[i], v[j] = v[j], v[i]
+            assert v == sorted(bits), bits
+
+    def test_matches_stacked_sort_form(self):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.prestack import _masked_median9
+        rng = np.random.default_rng(11)
+        h = w = 16
+        stacks = [jnp.asarray(rng.normal(100, 10, (h, w)).astype(np.float32))
+                  for _ in range(9)]
+        # validity patterns like _shifted's edge masks plus a random one
+        valids = [jnp.asarray(rng.random((h, w)) > p) for p in
+                  (0.0, 0.0, 0.1, 0.3, 0.5, 0.0, 0.2, 0.4, 0.0)]
+        valids[0] = jnp.ones((h, w), bool)  # center always valid
+        got = np.asarray(_masked_median9(stacks, valids))
+
+        big = np.float32(3.4e38)
+        s = np.sort(np.where(np.stack(valids), np.stack(stacks), big), axis=0)
+        cnt = np.stack(valids).sum(axis=0)
+        up = np.clip(cnt // 2, 0, 8)
+        lo = np.clip(np.maximum(cnt // 2 - 1, 0), 0, 8)
+        upper = np.take_along_axis(s, up[None], axis=0)[0]
+        lower = np.take_along_axis(s, lo[None], axis=0)[0]
+        want = np.where(cnt % 2 == 1, upper, 0.5 * (lower + upper))
+        np.testing.assert_array_equal(got, want)
