@@ -33,14 +33,22 @@ def fetch_array(x, dtype=None) -> np.ndarray:
         out = np.asarray(x)
         return out if dtype is None else out.astype(dtype, copy=False)
     nbytes = x.size * x.dtype.itemsize
-    if x.ndim == 0 or x.shape[0] < 2 or nbytes < _MIN_CHUNK_BYTES:
+    if x.ndim == 0 or x.size < 2 or nbytes < _MIN_CHUNK_BYTES:
         out = np.asarray(x)
         return out if dtype is None else out.astype(dtype, copy=False)
 
+    # Chunk over the FLAT element count when the leading dim is too coarse:
+    # a (3, 4096, 4096) color image sliced along axis 0 gives only 3
+    # streams (the round-4 rgb-config phase probe showed its 192 MB save
+    # fetch running at single-stream rates); flattening restores the full
+    # stream count. The flatten is a bitcast for a contiguous device array.
+    shape = x.shape
+    if x.ndim == 1 or shape[0] < _TARGET_CHUNKS:
+        x = x.reshape(-1)
     k = min(_TARGET_CHUNKS, x.shape[0])
     bounds = np.linspace(0, x.shape[0], k + 1).astype(int)
     parts = [x[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
     for p in parts:
         p.copy_to_host_async()
-    out = np.concatenate([np.asarray(p) for p in parts], axis=0)
+    out = np.concatenate([np.asarray(p) for p in parts], axis=0).reshape(shape)
     return out if dtype is None else out.astype(dtype, copy=False)
