@@ -9,8 +9,11 @@ Differences from a plain `diff`:
 * INTEGER tokens (ids, pixel/star/clip counts, sizes) must match EXACTLY --
   a count regression is a semantics regression;
 * float tokens compare within |a-b| <= max(ATOL, RTOL*max(|a|,|b|)) at
-  tight bounds (default ATOL=2e-3, RTOL=1e-3): the committed goldens are
-  CPU-deterministic, so the band only needs to absorb print rounding.
+  tight bounds (default ATOL=2e-3, RTOL=1e-3, with the absolute band
+  further capped at 2 printed quanta of the token so finely-printed
+  small values like 0.0111 get a ~1e-4-scale band): the committed
+  goldens are CPU-deterministic, so the band only needs to absorb print
+  rounding.
   `--tpu` runs widen to the legacy band (kernel-vs-XLA reduction order
   flips trailing digits and the odd clip count);
 * lines are compared as a sorted multiset -- promise materialization order
@@ -127,7 +130,13 @@ def _tokens_match(a: str, b: str) -> bool:
             continue
         fa, fb = float(xa), float(xb)
         ulp = min(_print_ulp(xa), _print_ulp(xb))
-        if abs(fa - fb) > max(atol, rtol * max(abs(fa), abs(fb))) + ulp:
+        # The absolute band need not exceed what the PRINT can express:
+        # a token printed as 0.0111 has a 1e-4 quantum, so ATOL=2e-3 would
+        # allow an 18% drift. Cap the absolute band at 2 printed quanta
+        # (coarser prints keep the configured ATOL; exponent-form tokens
+        # have ulp=0 and are left at ATOL).
+        atol_tok = min(atol, 2.0 * ulp) if (ulp > 0.0 and not _TPU_MODE) else atol
+        if abs(fa - fb) > max(atol_tok, rtol * max(abs(fa), abs(fb))) + ulp:
             return False
     return True
 
