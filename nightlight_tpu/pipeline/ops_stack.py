@@ -448,6 +448,15 @@ class OpStackBatches(Operator):
                 break
             if max_threads < 1 or batch_size < 2:
                 raise ValueError("Cannot find a stacking execution path within the given memory constraints.")
+            # DIVERGENCE from stackbatches.go:168-184: the reference computes
+            # numBatches from the PRE-subtraction batch size, so for inputs
+            # where ceil(n/bs)*(bs-2) < n (e.g. 100 frames at bs=26 ->
+            # 4 batches of 24 = 96) its batch loop silently never stacks the
+            # last frames. Recompute the batch count from the final batch
+            # size so coverage holds; the shrink loop below then preserves
+            # batch_size*num_batches >= num_frames while minimizing the
+            # per-batch memory footprint, which is the reference's intent.
+            num_batches = (num_frames + batch_size - 1) // batch_size
             while (batch_size - 1) * num_batches >= num_frames:
                 batch_size -= 1
             return num_batches, batch_size, max_threads

@@ -51,6 +51,25 @@ class TestPartition:
         # randomized permutation preserves the full set
         assert len(ins_perm) == 600
 
+    def test_partition_covers_all_frames_in_the_ceil_window(self, rng):
+        """Regression (round 4, found by the first literal 100x16MP run):
+        the reference computes numBatches from the PRE-subtraction batch
+        size (stackbatches.go:168-184), so 100 frames at an available-frame
+        budget of 27 solve to 4 batches of 24 = 96 frames and the batch
+        loop silently never stacks the last 4. We recompute the batch count
+        from the final batch size; every frame must land in a batch."""
+        c = self._ctx(54)  # 1024x512 f32 = 2 MiB/frame -> 27 available
+        c.max_threads = 1
+        op = OpStackBatches(per_batch=OpSequence(steps=[OpStack(mode=int(StackMode.Mean))]))
+        ins = [image_promise(rng, 10.0, w=1024, h=512, i=i) for i in range(100)]
+        ins_perm, num_batches, batch_size, _ = op._partition(ins, c)
+        assert len(ins_perm) == 100
+        assert num_batches * batch_size >= 100
+        covered = sum(
+            len(ins_perm[b * batch_size:(b + 1) * batch_size])
+            for b in range(num_batches))
+        assert covered == 100
+
     def test_infeasible_memory_raises(self, rng):
         c = self._ctx(0)
         c.stack_memory_mb = 0
