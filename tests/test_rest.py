@@ -127,6 +127,94 @@ class TestREST:
         assert b"root:" not in body
 
 
+class TestLiveStacking:
+    """BASELINE config #5's REST aspect: out-of-core live stacking over the
+    job endpoint (reference: internal/rest/serve.go:95-134 driving
+    internal/ops/stack/stackbatches.go)."""
+
+    def _post_raw_chunked(self, host, port, payload):
+        """POST a job and return (header, chunks): the raw HTTP chunk frames,
+        one per server-side log write. Parsing the frames directly (instead
+        of urllib's merged body) proves the log streams incrementally,
+        chunk-per-write, without racing the job's progress."""
+        import socket
+
+        body = json.dumps(payload).encode()
+        req = (
+            f"POST /api/v1/job HTTP/1.1\r\nHost: {host}\r\n"
+            f"Content-Type: application/json\r\nContent-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        with socket.create_connection((host, port), timeout=600) as s:
+            s.sendall(req)
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(65536)
+            header, data = buf.split(b"\r\n\r\n", 1)
+            chunks = []
+            while True:
+                while b"\r\n" not in data:
+                    data += s.recv(65536)
+                size_line, data = data.split(b"\r\n", 1)
+                size = int(size_line, 16)
+                if size == 0:
+                    break
+                while len(data) < size + 2:
+                    data += s.recv(65536)
+                chunks.append(data[:size])
+                data = data[size + 2:]
+        return header.decode(), chunks
+
+    def test_stackbatches_job_streams_batches(self, tmp_path, monkeypatch):
+        import random
+
+        from scripts.gen_fixtures import gen
+
+        monkeypatch.chdir(tmp_path)
+        gen(str(tmp_path), 10, 256)
+        jnp.zeros(1).block_until_ready()
+        # 2 MiB budget -> two 5-frame batches at 256x256 (same shape as the
+        # CLI -stMemory 2 out-of-core test)
+        srv = make_server(0, 2)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            random.seed(123)
+            job = {"type": "seq", "steps": [
+                {"type": "loadMany", "filePatterns": ["light*.fits"]},
+                {"type": "stackBatches", "perBatch": {"type": "seq", "steps": [
+                    {"type": "starDetect", "radius": 16, "sigma": 15.0,
+                     "badPixelSigma": 5.0, "inOutRatio": 1.4},
+                    {"type": "selectRef", "target": 1, "mode": "%starsHFR"},
+                    {"type": "selectRef", "target": 0, "mode": "%starsHFR"},
+                    {"type": "matchHist", "mode": 2},
+                    {"type": "align", "k": 20, "threshold": 1.0, "oobMode": 0},
+                    {"type": "stack", "mode": 6, "sigmaLow": 2.75,
+                     "sigmaHigh": 2.75},
+                ]}},
+                {"type": "save", "filePattern": "live_stacked.fits"},
+            ]}
+            host, port = srv.server_address
+            header, chunks = self._post_raw_chunked(host, port, job)
+        finally:
+            srv.shutdown()
+
+        assert "Transfer-Encoding: chunked" in header
+        # live contract: every log write is its own chunk, so progress
+        # arrives as it happens rather than as one buffered body
+        assert len(chunks) > 20, len(chunks)
+        body = b"".join(chunks).decode()
+        assert "random batches" in body, body
+        assert "Starting batch 1 of 2 with 5 frames" in body, body
+        assert "Starting batch 2 of 2 with 5 frames" in body, body
+        assert "Writing 256x256 pixel FITS to live_stacked.fits" in body, body
+        assert "Error" not in body, body
+        # the batch-start announcements stream in their own chunks, ahead of
+        # that batch's results
+        batch_chunks = [i for i, ch in enumerate(chunks) if b"Starting batch" in ch]
+        assert len(batch_chunks) == 2
+        assert (tmp_path / "live_stacked.fits").exists()
+
+
 class TestConcurrentJobs:
     def test_two_simultaneous_jobs_serialize(self, server, tmp_path, rng):
         """Jobs must run one at a time (device access + cwd mutation are not
