@@ -58,97 +58,164 @@ def build_parser() -> argparse.ArgumentParser:
     a("-debayer", default="", help="debayer the given channel, one of R, G, B")
     a("-cfa", default="RGGB", help="color filter array for debayering")
 
-    a("-debandH", type=float, default=0.0)
-    a("-debandV", type=float, default=0.0)
-    a("-debandHWindow", type=int, default=128)
-    a("-debandVWindow", type=int, default=128)
-    a("-debandHSigma", type=float, default=3.0)
-    a("-debandVSigma", type=float, default=3.0)
+    a("-debandH", type=float, default=0.0,
+      help="horizontal debanding percentile in [0..100]; 0 disables")
+    a("-debandV", type=float, default=0.0,
+      help="vertical debanding percentile in [0..100]; 0 disables")
+    a("-debandHWindow", type=int, default=128,
+      help="rolling window height (rows) for horizontal debanding")
+    a("-debandVWindow", type=int, default=128,
+      help="rolling window width (columns) for vertical debanding")
+    a("-debandHSigma", type=float, default=3.0,
+      help="ignore pixels above location + this*scale when estimating row banding; 0 disables")
+    a("-debandVSigma", type=float, default=3.0,
+      help="ignore pixels above location + this*scale when estimating column banding; 0 disables")
 
-    a("-binning", type=int, default=0)
+    a("-binning", type=int, default=0,
+      help="sum NxN pixel blocks into one; 0 or 1 = no binning")
 
-    a("-bpSigLow", type=float, default=3.0)
-    a("-bpSigHigh", type=float, default=5.0)
+    a("-bpSigLow", type=float, default=3.0,
+      help="bad-pixel rejection: flag pixels below location - this*scale")
+    a("-bpSigHigh", type=float, default=5.0,
+      help="bad-pixel rejection: flag pixels above location + this*scale")
 
-    a("-starSig", type=float, default=15.0)
-    a("-starBpSig", type=float, default=-1.0)
-    a("-starInOut", type=float, default=1.4)
-    a("-starRadius", type=int, default=16)
+    a("-starSig", type=float, default=15.0,
+      help="star detection threshold in scales above location")
+    a("-starBpSig", type=float, default=-1.0,
+      help="bad-pixel sigma used inside star detection; -1 picks a per-command default")
+    a("-starInOut", type=float, default=1.4,
+      help="minimum brightness ratio inside vs outside the HFR for a star candidate")
+    a("-starRadius", type=int, default=16,
+      help="candidate window radius in pixels for star detection")
 
-    a("-backGrid", type=int, default=0)
-    a("-backHFRFactor", type=float, default=4.0)
-    a("-backSigma", type=float, default=1.5)
-    a("-backClip", type=int, default=0)
+    a("-backGrid", type=int, default=0,
+      help="automated background extraction cell size in pixels; 0 disables")
+    a("-backHFRFactor", type=float, default=4.0,
+      help="background extraction: mask stars out to HFR times this factor")
+    a("-backSigma", type=float, default=1.5,
+      help="background extraction: sigma threshold for excluding foreground objects")
+    a("-backClip", type=int, default=0,
+      help="background extraction: replace the k brightest cells with their local median")
 
-    a("-minStars", type=int, default=0)
+    a("-minStars", type=int, default=0,
+      help="drop frames with fewer detected stars than this before stacking; 0 = keep all")
 
-    a("-blurSigma", type=float, default=0.0)
-    a("-usmSigma", type=float, default=1.0)
-    a("-usmGain", type=float, default=0.0)
-    a("-usmThresh", type=float, default=1.0)
+    a("-blurSigma", type=float, default=0.0,
+      help="gaussian blur sigma (~1/3 of the radius); 0 = no blur")
+    a("-usmSigma", type=float, default=1.0,
+      help="unsharp-mask gaussian sigma (~1/3 of the radius)")
+    a("-usmGain", type=float, default=0.0,
+      help="unsharp-mask gain; 0 = no sharpening")
+    a("-usmThresh", type=float, default=1.0,
+      help="unsharp-mask threshold in scales above background location")
 
-    a("-alignK", type=int, default=20)
-    a("-alignT", type=float, default=1.0)
+    a("-alignK", type=int, default=20,
+      help="number of brightest stars whose triangles seed alignment")
+    a("-alignT", type=float, default=1.0,
+      help="drop frames whose alignment residual to the reference exceeds this")
 
-    a("-lsEst", type=int, default=3)
-    a("-normRange", type=int, default=0)
-    a("-normHist", type=int, default=4)
+    a("-lsEst", type=int, default=3,
+      help="location/scale estimator: 0=mean/stddev, 1=median/MAD, 2=IKSS,"
+           " 3=iterative sigma-clipped sampled median + sampled Qn, 4=histogram peak")
+    a("-normRange", type=int, default=0,
+      help="1 = normalize pixel range to [0,1] after loading; 0 = keep raw values")
+    a("-normHist", type=int, default=4,
+      help="histogram normalization: 0=off, 1=location, 2=location+scale,"
+           " 3=black-point shift for RGB alignment, 4=per-command auto")
 
-    a("-stMode", type=int, default=6)
-    a("-stSigLow", type=float, default=-1.0)
-    a("-stSigHigh", type=float, default=-1.0)
-    a("-stWeight", type=int, default=0)
-    a("-stMemory", type=int, default=0)
+    a("-stMode", type=int, default=6,
+      help="stacking mode: 0=median, 1=mean, 2=sigma clip, 3=winsorized sigma clip,"
+           " 4=MAD sigma clip, 5=linear fit, 6=auto by frame count")
+    a("-stSigLow", type=float, default=-1.0,
+      help="low clipping sigma for stacking; -1 = goal-seek from the target clip percentage")
+    a("-stSigHigh", type=float, default=-1.0,
+      help="high clipping sigma for stacking; -1 = goal-seek from the target clip percentage")
+    a("-stWeight", type=int, default=0,
+      help="stacking weights: 0=unweighted, 1=by exposure, 2=by inverse noise")
+    a("-stMemory", type=int, default=0,
+      help="memory budget in MiB for stacking; splits the job into randomized"
+           " out-of-core batches when the frame set exceeds it (0 = size to the device)")
 
-    a("-histoRef", default="%starsHFR")
-    a("-alignRef", default="%starsHFR")
+    a("-histoRef", default="%starsHFR",
+      help="histogram-match reference: %%starsHFR=best stars/HFR score,"
+           " %%location=median location, an integer image ID, or a filename")
+    a("-alignRef", default="%starsHFR",
+      help="alignment reference: %%starsHFR=best stars/HFR score,"
+           " %%location=median location, an integer image ID, or a filename")
 
-    a("-neutSigmaLow", type=float, default=-1.0)
-    a("-neutSigmaHigh", type=float, default=-1.0)
+    a("-neutSigmaLow", type=float, default=-1.0,
+      help="neutralize background color below this sigma threshold; <0 disables")
+    a("-neutSigmaHigh", type=float, default=-1.0,
+      help="keep background color above this sigma threshold, interpolating between; <0 disables")
 
-    a("-balBlock", type=int, default=16)
-    a("-balBorder", type=float, default=0.1)
-    a("-balSkipBright", type=float, default=0.0)
-    a("-balSkipDim", type=float, default=0.5)
-    a("-balShR", type=float, default=1.0)
-    a("-balShG", type=float, default=1.0)
-    a("-balShB", type=float, default=1.0)
-    a("-balHiR", type=float, default=1.0)
-    a("-balHiG", type=float, default=1.0)
-    a("-balHiB", type=float, default=1.0)
+    a("-balBlock", type=int, default=16,
+      help="auto balance: edge length of the darkest block balanced to black")
+    a("-balBorder", type=float, default=0.1,
+      help="auto balance: fraction of the image border excluded from the block search")
+    a("-balSkipBright", type=float, default=0.0,
+      help="auto balance: skip this brightest fraction of stars when balancing star colors")
+    a("-balSkipDim", type=float, default=0.5,
+      help="auto balance: skip this dimmest fraction of stars when balancing star colors")
+    a("-balShR", type=float, default=1.0, help="tint shadows with this red component [0..1]")
+    a("-balShG", type=float, default=1.0, help="tint shadows with this green component [0..1]")
+    a("-balShB", type=float, default=1.0, help="tint shadows with this blue component [0..1]")
+    a("-balHiR", type=float, default=1.0, help="tint highlights with this red component [0..1]")
+    a("-balHiG", type=float, default=1.0, help="tint highlights with this green component [0..1]")
+    a("-balHiB", type=float, default=1.0, help="tint highlights with this blue component [0..1]")
 
-    a("-chromaGamma", type=float, default=1.0)
-    a("-chromaSigma", type=float, default=1.0)
-    a("-chromaFrom", type=float, default=295.0)
-    a("-chromaTo", type=float, default=40.0)
-    a("-chromaBy", type=float, default=1.0)
+    a("-chromaGamma", type=float, default=1.0,
+      help="gamma applied to the LCH chroma curve for luminances above the"
+           " -chromaSigma threshold; 1 = no op")
+    a("-chromaSigma", type=float, default=1.0,
+      help="apply chroma adjustments only to luminances this many scales above background")
+    a("-chromaFrom", type=float, default=295.0,
+      help="start hue angle (degrees) of the selective chroma adjustment range")
+    a("-chromaTo", type=float, default=40.0,
+      help="end hue angle (degrees) of the selective chroma adjustment range")
+    a("-chromaBy", type=float, default=1.0,
+      help="chroma scale factor for hues inside [chromaFrom, chromaTo]; 1 = no op")
 
-    a("-rotFrom", type=float, default=100.0)
-    a("-rotTo", type=float, default=190.0)
-    a("-rotBy", type=float, default=0.0)
-    a("-rotSigma", type=float, default=1.0)
+    a("-rotFrom", type=float, default=100.0,
+      help="start hue angle (degrees) of the selective hue rotation range")
+    a("-rotTo", type=float, default=190.0,
+      help="end hue angle (degrees) of the selective hue rotation range")
+    a("-rotBy", type=float, default=0.0,
+      help="hue rotation offset (degrees) for hues inside [rotFrom, rotTo];"
+           " 0 = no op (e.g. -30 maps greens toward gold for SHO palettes)")
+    a("-rotSigma", type=float, default=1.0,
+      help="rotate hues only for luminances this many scales above background location")
 
-    a("-scnr", type=float, default=0.0)
+    a("-scnr", type=float, default=0.0,
+      help="subtractive chromatic noise reduction on green in [0,1]; 0 = off")
 
-    a("-autoLoc", type=float, default=10.0)
-    a("-autoScale", type=float, default=0.4)
+    a("-autoLoc", type=float, default=10.0,
+      help="auto-stretch target for the histogram peak location, in %%; 0 disables")
+    a("-autoScale", type=float, default=0.4,
+      help="auto-stretch target for the histogram peak scale, in %%; 0 disables")
 
-    a("-midtone", type=float, default=0.0)
-    a("-midBlack", type=float, default=2.0)
+    a("-midtone", type=float, default=0.0,
+      help="midtone transfer strength in scales above background; 0 = no op")
+    a("-midBlack", type=float, default=2.0,
+      help="midtone black point, in scales below the background location")
 
-    a("-gamma", type=float, default=1.0)
-    a("-ppGamma", type=float, default=1.0)
-    a("-ppSigma", type=float, default=1.0)
+    a("-gamma", type=float, default=1.0, help="output gamma; 1 keeps linear data")
+    a("-ppGamma", type=float, default=1.0,
+      help="post-peak gamma applied above location + ppSigma*scale; 1 = no op")
+    a("-ppSigma", type=float, default=1.0,
+      help="post-peak gamma starts this many scales above the histogram peak")
 
-    a("-preScale", type=float, default=1.0)
-    a("-preOffset", type=float, default=0.0)
+    a("-preScale", type=float, default=1.0, help="multiply pixels by this factor on load")
+    a("-preOffset", type=float, default=0.0, help="add this offset to pixels on load")
 
-    a("-lumScale", type=float, default=1.0)
-    a("-lumOffset", type=float, default=0.0)
+    a("-lumScale", type=float, default=1.0, help="multiply the luminance channel by this factor")
+    a("-lumOffset", type=float, default=0.0, help="add this offset to the luminance channel")
 
-    a("-scaleBlack", type=float, default=0.0)
+    a("-scaleBlack", type=float, default=0.0,
+      help="shift the black point so the histogram peak lands at this value in %%; 0 = off")
 
-    a("-exportStats", default="%auto")
+    a("-exportStats", default="%auto",
+      help="write the per-frame statistics report (SVG charts) to this file;"
+           " %%auto derives it from -out")
     a("-allowAbsolutePaths", action="store_true",
       help="disable the relative-path sandbox for local CLI runs")
     return p

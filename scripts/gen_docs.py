@@ -1,9 +1,73 @@
-"""Regenerate docs/JOBS.md from the live operator registry."""
+"""Regenerate docs/JOBS.md (operator registry) and docs/CLI.md (flag
+reference) from the live code, so the docs cannot drift from the parser or
+the registry."""
 
 import json
 
 import nightlight_tpu.pipeline  # noqa: F401 - registers all operators
 from nightlight_tpu.serve.schema import operator_schema
+
+COMMANDS = [
+    ("stats", "load frames, detect stars, and print per-frame statistics (no output image)"),
+    ("stack", "calibrate, detect, align, and stack light frames into one master"),
+    ("stretch", "post-process a single (stacked) frame: stretch, curves, sharpening, save"),
+    ("rgb", "combine 3 (RGB) or 4 (LRGB) channel masters, balance, HSL chain, stretch, save"),
+    ("lrgb", "alias of rgb with a luminance channel first"),
+    ("run", "execute a JSON job file (-job job.json) through the operator DAG"),
+    ("serve", "start the REST API + web job editor on -port"),
+    ("legal", "print license information"),
+    ("version", "print the version"),
+]
+
+
+def gen_cli() -> None:
+    from nightlight_tpu.cli import build_parser
+
+    parser = build_parser()
+    lines = [
+        "# CLI reference",
+        "",
+        "`nightlight-tpu [-flag value ...] (stats|stack|stretch|rgb|run|serve|legal|version)"
+        " img0.fits ... imgn.fits`",
+        "",
+        "Flag names, defaults, and per-command default resolution follow the reference",
+        "CLI (`cmd/nightlight/main.go:49-166,236-273`) so existing scripts port",
+        "unchanged; `-trace`/`-shard` replace the Go pprof flags with the TPU analogs.",
+        "This file is generated from the live argparse parser",
+        "(`python -m scripts.gen_docs` regenerates it).",
+        "",
+        "## Commands",
+        "",
+        "| command | effect |",
+        "|---|---|",
+    ]
+    lines += [f"| `{name}` | {desc} |" for name, desc in COMMANDS]
+    lines += [
+        "",
+        "Per-command defaults: `stats` disables bad-pixel rejection and histogram",
+        "normalization; `stack` resolves `-normHist` auto to location+scale and",
+        "`-starBpSig` auto to 5; `rgb`/`lrgb` disable both (matching the reference's",
+        "`main.go:236-273` resolution).",
+        "",
+        "## Flags",
+        "",
+        "| flag | type | default | description |",
+        "|---|---|---|---|",
+    ]
+    for act in parser._actions:  # noqa: SLF001 - introspecting our own parser
+        if not act.option_strings:
+            continue
+        name = act.option_strings[0]
+        if name in ("-h", "--help"):
+            continue
+        typ = ("bool" if act.const is True else
+               {int: "int", float: "float"}.get(act.type, "str"))
+        default = "" if act.const is True else json.dumps(act.default)
+        doc = (act.help or "").replace("%%", "%").replace("|", "\\|")
+        lines.append(f"| `{name}` | {typ} | `{default}` | {doc} |")
+    lines.append("")
+    with open("docs/CLI.md", "w") as f:
+        f.write("\n".join(lines))
 
 
 def main() -> None:
@@ -38,6 +102,7 @@ def main() -> None:
         lines.append("")
     with open("docs/JOBS.md", "w") as f:
         f.write("\n".join(lines))
+    gen_cli()
 
 
 if __name__ == "__main__":

@@ -141,3 +141,22 @@ class TestTimestampWriter:
         w = TimestampWriter(sink, clock=lambda: 0.0)
         w.write("\n\nx\n")
         assert sink.getvalue() == "\n\n[+    0.00s] x\n"
+
+
+class TestCliDocs:
+    def test_every_flag_has_help_and_is_documented(self):
+        """docs/CLI.md is generated from the live parser (scripts/gen_docs.py);
+        a flag added without help text or without regenerating the doc fails
+        here rather than drifting silently."""
+        import os
+
+        from nightlight_tpu.cli import build_parser
+
+        parser = build_parser()
+        doc = open(os.path.join(os.path.dirname(__file__), "..", "docs", "CLI.md")).read()
+        for act in parser._actions:
+            if not act.option_strings or act.option_strings[0] in ("-h", "--help"):
+                continue
+            name = act.option_strings[0]
+            assert act.help, f"flag {name} has no help text"
+            assert f"| `{name}` |" in doc, f"flag {name} missing from docs/CLI.md"
