@@ -59,13 +59,17 @@ class _PendingGroup:
     + bscale/bzero decode program is dispatched only when a member is first
     consumed. This keeps prefetched frames at RAW size in HBM (u16 = half
     the decoded f32) and lets the out-of-core engine prefetch a whole next
-    batch within a modest memory reserve (ops_stack._partition)."""
+    batch within a modest memory reserve (ops_stack._partition).
+
+    When ``pack`` is set the payload traveled bit-packed (io/pack.py,
+    8-14 bits/pixel + sparse exceptions instead of raw u16) and ``packed``
+    is None; decode goes through pack.decode_packed_batch instead."""
 
     __slots__ = ("members", "packed", "bscale", "bzero", "bitpix", "shape",
-                 "raw_bytes")
+                 "raw_bytes", "pack")
 
     def __init__(self, members, packed, bscale, bzero, bitpix, shape,
-                 raw_bytes):
+                 raw_bytes, pack=None):
         self.members = members  # list of (name, Image-without-data)
         self.packed = packed
         self.bscale = bscale
@@ -73,6 +77,7 @@ class _PendingGroup:
         self.bitpix = bitpix
         self.shape = shape
         self.raw_bytes = raw_bytes
+        self.pack = pack
 
 
 class BulkUploader:
@@ -136,6 +141,8 @@ class BulkUploader:
         self.group_frames = max(2, min(self.MAX_GROUP,
                                        self.GROUP_BYTES // max(1, frame_bytes)))
         self.n_uploads = 0  # observability: grouped transfers dispatched
+        self.packed_uploads = 0  # of which bit-packed (io/pack.py)
+        self.wire_bytes = 0  # actual H2D payload bytes dispatched
 
     @classmethod
     def try_create(cls, specs, log):
@@ -225,6 +232,33 @@ class BulkUploader:
 
     # -- internals ---------------------------------------------------------
 
+    def _try_pack(self, members, bitpix: int, shape: tuple, g: int):
+        """Bit-packed transport (io/pack.py) when the payload qualifies:
+        BITPIX 16, 2-D frames, NIGHTLIGHT_NO_PACK unset, and the packer
+        finds a (transform, width) beating raw u16 by >=1/16 of the wire.
+        Returns a PackedGroup whose arrays are already dispatched to the
+        device, or None for the raw path."""
+        import os
+
+        import numpy as np
+
+        if bitpix != 16 or len(shape) != 2 \
+                or os.environ.get("NIGHTLIGHT_NO_PACK"):
+            return None
+        from nightlight_tpu.io.pack import pack_group
+
+        u = np.empty((g, shape[0] * shape[1]), np.uint16)
+        for j, (_, _, raw) in enumerate(members):
+            u[j] = np.frombuffer(raw, ">u2")  # assignment byteswaps
+        u[len(members):] = 0x8000  # padding rows: offset-binary zero
+        u ^= np.uint16(0x8000)  # int16 pattern -> monotone offset binary
+        pg = pack_group(u, shape[0], valid=len(members))
+        if pg is None:
+            return None
+        pg.words = jnp.asarray(pg.words)  # ONE payload transfer (u16 wire)
+        pg.exc = jnp.asarray(pg.exc)
+        return pg
+
     def _decode_group(self, grp: _PendingGroup) -> None:
         """Dispatch the deferred byteswap/bscale decode for one uploaded
         group and swap its members into decoded Images (same program and
@@ -232,8 +266,14 @@ class BulkUploader:
         from nightlight_tpu.io.fits import _device_int_decode_batch, _index_frame
         from nightlight_tpu.ops.stats import Stats
 
-        decoded = _device_int_decode_batch(
-            grp.packed, grp.bitpix, grp.shape, grp.bscale, grp.bzero)
+        if grp.pack is not None:
+            from nightlight_tpu.io.pack import decode_packed_batch
+
+            decoded = decode_packed_batch(grp.pack, grp.shape, grp.bscale,
+                                          grp.bzero)
+        else:
+            decoded = _device_int_decode_batch(
+                grp.packed, grp.bitpix, grp.shape, grp.bscale, grp.bzero)
         self._ready_bytes -= grp.raw_bytes
         for j, (nm, im) in enumerate(grp.members):
             im.data = _index_frame(decoded, jnp.int32(j))
@@ -338,19 +378,29 @@ class BulkUploader:
         dtype = "<u2" if bitpix == 16 else np.uint8
         shape = tuple(reversed(naxisn))
         g = limit
-        views = [np.frombuffer(raw, dtype=dtype) for _, _, raw in members]
         pad = g - len(members)
-        if pad:  # fixed (G, pixels) program shape; padding rows never read
-            views.extend([np.zeros_like(views[0])] * pad)
-        packed = jnp.asarray(np.stack(views))  # ONE grouped transfer
         bscale = jnp.asarray(np.array(
             [im.bscale for _, im, _ in members] + [1.0] * pad, np.float32))
         bzero = jnp.asarray(np.array(
             [im.bzero for _, im, _ in members] + [0.0] * pad, np.float32))
         self.n_uploads += 1
-        raw_bytes = views[0].nbytes * g
-        grp = _PendingGroup([(nm, im) for nm, im, _ in members], packed,
-                            bscale, bzero, bitpix, shape, raw_bytes)
+
+        pg = self._try_pack(members, bitpix, shape, g)
+        if pg is not None:
+            raw_bytes = pg.wire_bytes
+            grp = _PendingGroup([(nm, im) for nm, im, _ in members], None,
+                                bscale, bzero, bitpix, shape, raw_bytes,
+                                pack=pg)
+            self.packed_uploads += 1
+        else:
+            views = [np.frombuffer(raw, dtype=dtype) for _, _, raw in members]
+            if pad:  # fixed (G, pixels) program shape; padding never read
+                views.extend([np.zeros_like(views[0])] * pad)
+            packed = jnp.asarray(np.stack(views))  # ONE grouped transfer
+            raw_bytes = views[0].nbytes * g
+            grp = _PendingGroup([(nm, im) for nm, im, _ in members], packed,
+                                bscale, bzero, bitpix, shape, raw_bytes)
+        self.wire_bytes += raw_bytes
         for nm, _, _ in members:
             self._ready[nm] = grp
         self._ready_bytes += raw_bytes
