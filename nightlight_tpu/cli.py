@@ -19,13 +19,30 @@ from nightlight_tpu.models.presets import build_command_seq
 from nightlight_tpu.ops.stats import LSEstimatorMode
 from nightlight_tpu.utils.logging import MultiWriter, auto_fill
 
+# Single source of truth for the command set: main()'s dispatch and
+# docs/CLI.md (scripts/gen_docs.py) both derive from this table, so the two
+# cannot drift (ADVICE r4). Order matters for the usage synopsis.
+COMMANDS = {
+    "stats": "load frames, detect stars, and print per-frame statistics (no output image)",
+    "stack": "calibrate, detect, align, and stack light frames into one master",
+    "stretch": "post-process a single (stacked) frame: stretch, curves, sharpening, save",
+    "rgb": "combine 3 (RGB) or 4 (LRGB) channel masters, balance, HSL chain, stretch, save",
+    "lrgb": "alias of rgb with a luminance channel first (the reference lists it in "
+            "usage but never dispatches it, main.go:301-414; here it runs)",
+    "run": "execute a JSON job file (-job job.json) through the operator DAG",
+    "serve": "start the REST API + web job editor on -port",
+    "legal": "print license information",
+    "version": "print the version",
+}
+_USAGE_CMDS = "|".join(COMMANDS)
+
 
 def build_parser() -> argparse.ArgumentParser:
     """All flags of main.go:49-166 with identical names and defaults."""
     p = argparse.ArgumentParser(
         prog="nightlight-tpu",
         description="TPU-native astrophotography pipeline (JSON job DSL compatible with nightlight)",
-        usage="%(prog)s [-flag value] (stats|stack|stretch|rgb|run|serve|legal|version) (img0.fits ... imgn.fits)",
+        usage=f"%(prog)s [-flag value] ({_USAGE_CMDS}) (img0.fits ... imgn.fits)",
     )
     a = p.add_argument
     a("command", nargs="?", default="")
@@ -361,7 +378,7 @@ def main(argv=None) -> int:
 
             make_sandbox(args.chroot, args.setuid, log_writer)
             serve(args.port, args.stMemory)
-        elif cmd in ("stats", "stack", "stretch", "rgb"):
+        elif cmd in ("stats", "stack", "stretch", "rgb", "lrgb"):
             run_op(build_command_seq(args), c)
         elif cmd == "run":
             with open(args.job) as fh:

@@ -12,6 +12,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import math
 import threading
+import time
 from typing import Iterable, Iterator
 
 import jax
@@ -143,6 +144,11 @@ class BulkUploader:
         self.n_uploads = 0  # observability: grouped transfers dispatched
         self.packed_uploads = 0  # of which bit-packed (io/pack.py)
         self.wire_bytes = 0  # actual H2D payload bytes dispatched
+        # EMA of observed upload-dispatch throughput (MB/s). jnp.asarray
+        # backpressures the dispatching thread at the wire rate for
+        # multi-MB payloads (BASELINE.md round-4 transport findings), so
+        # timing the dispatch approximates the live tunnel band.
+        self._h2d_mbps: float | None = None
 
     @classmethod
     def try_create(cls, specs, log):
@@ -245,6 +251,17 @@ class BulkUploader:
         if bitpix != 16 or len(shape) != 2 \
                 or os.environ.get("NIGHTLIGHT_NO_PACK"):
             return None
+        # Band gate (ADVICE r4): host-side packing costs ~115 MB/s of CPU
+        # on the 1-core host (measured, io/pack.py), so above ~60 MB/s of
+        # observed wire rate the pack time exceeds the wire seconds it
+        # saves (break-even for the typical 2x saving: rate = saved_bytes /
+        # pack_time ~ 55 MB/s). Unmeasured (first group) packs: bad bands
+        # are this tunnel's common case and one wasted pack is <1 s.
+        # NIGHTLIGHT_PACK=1 forces packing regardless of the band.
+        if not os.environ.get("NIGHTLIGHT_PACK"):
+            max_mbps = float(os.environ.get("NIGHTLIGHT_PACK_MAX_MBPS", "60"))
+            if self._h2d_mbps is not None and self._h2d_mbps > max_mbps:
+                return None
         from nightlight_tpu.io.pack import pack_group
 
         u = np.empty((g, shape[0] * shape[1]), np.uint16)
@@ -255,9 +272,21 @@ class BulkUploader:
         pg = pack_group(u, shape[0], valid=len(members))
         if pg is None:
             return None
+        t0 = time.perf_counter()
         pg.words = jnp.asarray(pg.words)  # ONE payload transfer (u16 wire)
         pg.exc = jnp.asarray(pg.exc)
+        self._note_upload(pg.wire_bytes, time.perf_counter() - t0)
         return pg
+
+    def _note_upload(self, nbytes: int, dt: float) -> None:
+        """Fold one dispatch timing into the wire-rate EMA. Sub-5ms
+        dispatches are queue handoffs, not wire measurements (CPU tests,
+        tiny groups) and are ignored."""
+        if dt < 0.005 or nbytes < (1 << 20):
+            return
+        rate = nbytes / (1 << 20) / dt
+        self._h2d_mbps = (rate if self._h2d_mbps is None
+                          else 0.5 * self._h2d_mbps + 0.5 * rate)
 
     def _decode_group(self, grp: _PendingGroup) -> None:
         """Dispatch the deferred byteswap/bscale decode for one uploaded
@@ -396,8 +425,10 @@ class BulkUploader:
             views = [np.frombuffer(raw, dtype=dtype) for _, _, raw in members]
             if pad:  # fixed (G, pixels) program shape; padding never read
                 views.extend([np.zeros_like(views[0])] * pad)
+            t0 = time.perf_counter()
             packed = jnp.asarray(np.stack(views))  # ONE grouped transfer
             raw_bytes = views[0].nbytes * g
+            self._note_upload(raw_bytes, time.perf_counter() - t0)
             grp = _PendingGroup([(nm, im) for nm, im, _ in members], packed,
                                 bscale, bzero, bitpix, shape, raw_bytes)
         self.wire_bytes += raw_bytes

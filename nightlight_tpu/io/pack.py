@@ -167,27 +167,36 @@ def pack_group(u: np.ndarray, height: int,
                    or (k == 14 and p % 4 == 0))
     # identity candidate: the codes themselves
     cand_id = _overflow_bits(u[:valid], widths)
+    choice = ("id", cand_id) if cand_id is not None else None
+    zz = None
     # delta candidate: u16-wraparound row-delta, zigzag coded (all-u16
     # host math — ~3x cheaper than int32 at 16MP); row heads carry the
     # absolute value (their zigzag is ~2*u, usually an exception at k=8 —
-    # H exceptions/frame is noise next to the byte savings)
-    rows = u.reshape(g, height, w)
-    d = np.empty_like(rows)
-    d[:, :, 0] = rows[:, :, 0]
-    np.subtract(rows[:, :, 1:], rows[:, :, :-1], out=d[:, :, 1:])
-    zz = _zigzag16(d.view(np.int16)).reshape(g, p)
-    cand_dl = _overflow_bits(zz[:valid], widths)
-
-    choice = None
-    if cand_id is not None:
-        choice = ("id", cand_id)
-    if cand_dl is not None and (choice is None or cand_dl[2] < choice[1][2]):
-        choice = ("delta", cand_dl)
+    # H exceptions/frame is noise next to the byte savings). Skipped when
+    # identity already packs near the 8-bit floor: the delta transform is
+    # ~half the host pack cost on the 1-core host and cannot beat a
+    # <=9-bit identity by enough to pay for itself (ADVICE r4).
+    if choice is None or cand_id[2] > 9.0:
+        rows = u.reshape(g, height, w)
+        d = np.empty_like(rows)
+        d[:, :, 0] = rows[:, :, 0]
+        np.subtract(rows[:, :, 1:], rows[:, :, :-1], out=d[:, :, 1:])
+        zz = _zigzag16(d.view(np.int16)).reshape(g, p)
+        cand_dl = _overflow_bits(zz[:valid], widths)
+        if cand_dl is not None and (choice is None or cand_dl[2] < choice[1][2]):
+            choice = ("delta", cand_dl)
     if choice is None:
         return None
     kind, (k, _exc, _bits) = choice
     mag = u if kind == "id" else zz
-    return PackedGroup(kind, k, _pack_planes(mag, k), _exceptions(mag, k))
+    pg = PackedGroup(kind, k, _pack_planes(mag, k), _exceptions(mag, k))
+    # The projection above estimates exception bytes UNPADDED; the real
+    # exception table buckets to a power of two (up to ~2x those bytes), so
+    # a group near the threshold can come out of construction costing more
+    # wire than raw u16 (ADVICE r4). Re-check the ACTUAL wire bytes.
+    if pg.wire_bytes > g * p * 2 * (1.0 - _MIN_SAVING):
+        return None
+    return pg
 
 
 # -- device side -----------------------------------------------------------

@@ -244,7 +244,10 @@ def build_command_seq(args):
             OpSave(file_pattern=args.jpg, export_mode=int(ExportMode.Zero1), gamma=args.jpgGamma),
         ])
 
-    if cmd == "rgb":
+    if cmd in ("rgb", "lrgb"):
+        # lrgb is the same DAG: OpRGBCombine handles 4 inputs as L+RGB.
+        # (The reference lists lrgb in its usage and resolves its defaults
+        # but its dispatch never runs it, main.go:301-414 — here it works.)
         return OpSequence(steps=[
             op_load_many,
             op_star_detect,

@@ -7,28 +7,19 @@ import json
 import nightlight_tpu.pipeline  # noqa: F401 - registers all operators
 from nightlight_tpu.serve.schema import operator_schema
 
-COMMANDS = [
-    ("stats", "load frames, detect stars, and print per-frame statistics (no output image)"),
-    ("stack", "calibrate, detect, align, and stack light frames into one master"),
-    ("stretch", "post-process a single (stacked) frame: stretch, curves, sharpening, save"),
-    ("rgb", "combine 3 (RGB) or 4 (LRGB) channel masters, balance, HSL chain, stretch, save"),
-    ("lrgb", "alias of rgb with a luminance channel first"),
-    ("run", "execute a JSON job file (-job job.json) through the operator DAG"),
-    ("serve", "start the REST API + web job editor on -port"),
-    ("legal", "print license information"),
-    ("version", "print the version"),
-]
-
 
 def gen_cli() -> None:
-    from nightlight_tpu.cli import build_parser
+    # COMMANDS lives in cli.py next to main()'s dispatch (single source of
+    # truth; tests assert the dispatch handles every key), so this table
+    # cannot drift from the parser (ADVICE r4).
+    from nightlight_tpu.cli import COMMANDS, build_parser
 
     parser = build_parser()
+    cmds = "|".join(COMMANDS)
     lines = [
         "# CLI reference",
         "",
-        "`nightlight-tpu [-flag value ...] (stats|stack|stretch|rgb|run|serve|legal|version)"
-        " img0.fits ... imgn.fits`",
+        f"`nightlight-tpu [-flag value ...] ({cmds}) img0.fits ... imgn.fits`",
         "",
         "Flag names, defaults, and per-command default resolution follow the reference",
         "CLI (`cmd/nightlight/main.go:49-166,236-273`) so existing scripts port",
@@ -41,7 +32,7 @@ def gen_cli() -> None:
         "| command | effect |",
         "|---|---|",
     ]
-    lines += [f"| `{name}` | {desc} |" for name, desc in COMMANDS]
+    lines += [f"| `{name}` | {desc} |" for name, desc in COMMANDS.items()]
     lines += [
         "",
         "Per-command defaults: `stats` disables bad-pixel rejection and histogram",

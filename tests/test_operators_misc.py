@@ -160,3 +160,23 @@ class TestCliDocs:
             name = act.option_strings[0]
             assert act.help, f"flag {name} has no help text"
             assert f"| `{name}` |" in doc, f"flag {name} missing from docs/CLI.md"
+
+    def test_every_command_is_dispatched_and_documented(self):
+        """cli.COMMANDS is the single source of truth for the command set
+        (gen_docs renders it; the usage synopsis joins it). Every key must
+        appear in main()'s dispatch source AND in docs/CLI.md, so a command
+        added to one place but not the others fails here (ADVICE r4)."""
+        import inspect
+        import os
+
+        from nightlight_tpu import cli
+
+        src = inspect.getsource(cli.main)
+        doc = open(os.path.join(os.path.dirname(__file__), "..", "docs", "CLI.md")).read()
+        for name in cli.COMMANDS:
+            assert f'"{name}"' in src, f"command {name} not dispatched in cli.main"
+            assert f"| `{name}` |" in doc, f"command {name} missing from docs/CLI.md"
+        # and the usage synopsis carries the full set (incl. lrgb)
+        usage = cli.build_parser().format_usage()
+        for name in cli.COMMANDS:
+            assert name in usage

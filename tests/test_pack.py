@@ -177,3 +177,70 @@ class TestBulkUploaderPacking:
             np.testing.assert_array_equal(np.asarray(got.data),
                                           np.asarray(ref.data))
         assert up.packed_uploads == up.n_uploads
+
+
+class TestPackGuards:
+    """Round-5 guards (ADVICE r4): the packer must verify ACTUAL wire bytes
+    after exception-bucket padding, skip the delta transform when identity
+    already packs near the floor, and respect the ingest band gate."""
+
+    def test_actual_wire_bytes_rechecked_after_bucket_padding(self):
+        # Crafted so the PROJECTED bits/pixel clears the 1/16 threshold but
+        # the power-of-two exception bucket pushes the real payload to
+        # exactly raw size: 8192 px of 8-bit codes + 513 spike exceptions
+        # (bucketed to 1024 x 8 bytes) = 8192 + 8192 = 16384 wire bytes vs
+        # 16384 raw -- zero saving, must return None.
+        rng = np.random.default_rng(3)
+        u = rng.integers(0, 250, (1, 8192)).astype(np.uint16)
+        idx = rng.choice(8192, size=513, replace=False)
+        u[0, idx] = 60000
+        assert pack_group(u, 64) is None
+
+    def test_delta_skipped_when_identity_near_floor(self, monkeypatch):
+        # identity packs at k=8 (bits ~8 <= 9): the delta transform (the
+        # expensive half of the host pack cost) must not run at all
+        import nightlight_tpu.io.pack as pack_mod
+
+        calls = []
+        orig = pack_mod._zigzag16
+        monkeypatch.setattr(pack_mod, "_zigzag16",
+                            lambda s: calls.append(1) or orig(s))
+        rng = np.random.default_rng(4)
+        u = rng.integers(0, 200, (2, 4096)).astype(np.uint16)
+        pg = pack_group(u, 64)
+        assert pg is not None and pg.kind == "id" and pg.k == 8
+        assert not calls
+        # ...but a 12-bit identity still explores the delta candidate
+        u2 = (rng.normal(1500, 15, (2, 4096))).clip(0, 4000).astype(np.uint16)
+        pg2 = pack_group(u2, 64)
+        assert pg2 is not None and calls
+
+    def test_band_gate_skips_packing_when_wire_is_fast(self, tmp_path, rng,
+                                                       monkeypatch):
+        names = TestBulkUploaderPacking._gen(TestBulkUploaderPacking(),
+                                             tmp_path, rng)
+        up = BulkUploader(list(enumerate(names)), io.StringIO(),
+                          frame_bytes=24 * 32 * 2)
+        up._h2d_mbps = 500.0  # measured band above the 60 MB/s gate
+        for name in names:
+            got = up.get(name)
+            ref = nlfits.read_file(name, log=io.StringIO())
+            np.testing.assert_array_equal(np.asarray(got.data),
+                                          np.asarray(ref.data))
+        assert up.packed_uploads == 0
+        # NIGHTLIGHT_PACK=1 overrides the gate
+        monkeypatch.setenv("NIGHTLIGHT_PACK", "1")
+        up2 = BulkUploader(list(enumerate(names)), io.StringIO(),
+                           frame_bytes=24 * 32 * 2)
+        up2._h2d_mbps = 500.0
+        up2.get(names[0])
+        assert up2.packed_uploads == 1
+
+    def test_note_upload_ignores_queue_handoffs(self):
+        up = BulkUploader([(0, "x.fits")], io.StringIO(), frame_bytes=2048)
+        up._note_upload(32 << 20, 0.001)  # sub-5ms: not a wire measurement
+        assert up._h2d_mbps is None
+        up._note_upload(32 << 20, 1.0)
+        assert up._h2d_mbps == 32.0
+        up._note_upload(32 << 20, 0.5)  # EMA folds in the new reading
+        assert up._h2d_mbps == 48.0

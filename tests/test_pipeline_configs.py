@@ -232,3 +232,24 @@ class TestNarrowbandHubble:
         # SCNR + rotation must reduce green dominance relative to a plain combine
         green_excess = d[1] - 0.5 * (d[0] + d[2])
         assert float(np.median(green_excess)) < 0.05
+
+
+class TestLRGBCommand:
+    """The `lrgb` command must actually dispatch (the reference lists it in
+    usage and resolves its defaults but never runs it, main.go:301-414;
+    round-5 wires it to the rgb DAG, which handles 4 inputs as L+RGB)."""
+
+    def test_lrgb_runs_the_rgb_dag_with_luminance(self, tmp_path, rng):
+        for ch, gain in (("l", 1.0), ("r", 0.8), ("g", 0.6), ("b", 0.9)):
+            img = synth_field(rng, h=96, w=96, stars=STAR_POS[:5], bg=100.0 * gain,
+                              noise=1.0, flux=9000.0 * gain, fwhm=8.0)
+            im = Image.from_naxisn([96, 96], img)
+            im.exposure = 60.0
+            nlfits.write_file(im, str(tmp_path / f"ch_{ch}.fits"))
+        rc = run_cli(["-out", "lrgb.fits", "-log", "", "-jpg", "",
+                      "-exportStats", "", "lrgb", "ch_l.fits", "ch_r.fits",
+                      "ch_g.fits", "ch_b.fits"], tmp_path)
+        assert rc == 0
+        out = nlfits.read_file(str(tmp_path / "lrgb.fits"), to_device=False)
+        assert out.naxisn == [96, 96, 3]
+        assert np.isfinite(out.to_numpy()).all()
