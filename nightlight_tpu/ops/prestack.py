@@ -149,14 +149,27 @@ def _adj_crop(img, xo, yo):
 
 @partial(jax.jit, static_argnames=("xo", "yo"))
 def _debayer_red(img: jax.Array, xo: int, yo: int) -> jax.Array:
-    """Red channel (debayer.go:63-124): R at even rows/cols of the cropped
-    frame; neighbors clamped at the bottom/right edges."""
-    d, adj_h, adj_w = _adj_crop(img, xo, yo)
-    r = d[0::2, 0::2]  # (adj_h/2, adj_w/2)
-    # edge-clamped right/down/diag neighbors
-    r_right = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)
-    r_down = jnp.concatenate([r[1:, :], r[-1:, :]], axis=0)
-    r_rd = jnp.concatenate([r_down[:, 1:], r_down[:, -1:]], axis=1)
+    """Red channel (debayer.go:63-124). Neighbor availability follows the
+    reference's SOURCE-coordinate tests, which differ from clamping on the
+    cropped grid in two ways: (1) on an odd-width/-height image, the last
+    output cell's right/down neighbor is the CROPPED-OFF sample — real,
+    not clamped; (2) the nested conditionals make the diagonal neighbor
+    fall back to r itself (not rRight or rDown) whenever the cell sits on
+    the last available row OR column (debayer.go:85-99). Pinned against
+    the transliterated loop in tests/test_go_oracles.py."""
+    h, w = img.shape
+    adj_w = (w - xo) & ~1
+    adj_h = (h - yo) & ~1
+    ah2, aw2 = adj_h // 2, adj_w // 2
+    rall = img[yo::2, xo::2]  # ALL R-phase samples, incl. cropped-off ones
+    fh, fw = rall.shape
+    rpad = jnp.pad(rall, ((0, 1), (0, 1)), mode="edge")
+    r = rall[:ah2, :aw2]
+    has_r = (jnp.arange(aw2) + 1 < fw)[None, :]
+    has_d = (jnp.arange(ah2) + 1 < fh)[:, None]
+    r_right = jnp.where(has_r, rpad[:ah2, 1:aw2 + 1], r)
+    r_down = jnp.where(has_d, rpad[1:ah2 + 1, :aw2], r)
+    r_rd = jnp.where(has_r & has_d, rpad[1:ah2 + 1, 1:aw2 + 1], r)
     out = jnp.zeros((adj_h, adj_w), img.dtype)
     out = out.at[0::2, 0::2].set(r)
     out = out.at[0::2, 1::2].set(0.5 * (r + r_right))
@@ -167,13 +180,26 @@ def _debayer_red(img: jax.Array, xo: int, yo: int) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("xo", "yo"))
 def _debayer_blue(img: jax.Array, xo: int, yo: int) -> jax.Array:
-    """Blue channel (debayer.go:201-262): B at odd rows/cols; neighbors
-    clamped at the top/left edges."""
-    d, adj_h, adj_w = _adj_crop(img, xo, yo)
-    b = d[1::2, 1::2]
-    b_left = jnp.concatenate([b[:, :1], b[:, :-1]], axis=1)
-    b_up = jnp.concatenate([b[:1, :], b[:-1, :]], axis=0)
-    b_lu = jnp.concatenate([b_up[:, :1], b_up[:, :-1]], axis=1)
+    """Blue channel (debayer.go:201-262): the up-left mirror of red,
+    including the nested edge conditionals (bLU falls back to b itself on
+    the first available row OR column) and real neighbors outside the
+    even-crop for offset CFAs (e.g. BGGR's column 0)."""
+    h, w = img.shape
+    adj_w = (w - xo) & ~1
+    adj_h = (h - yo) & ~1
+    ah2, aw2 = adj_h // 2, adj_w // 2
+    # ALL B-phase samples of the image; the output's b[0,0] sits at index
+    # (i0, j0) inside it (nonzero for offset CFAs, where real up/left
+    # neighbors exist outside the crop)
+    ball = img[(yo + 1) % 2::2, (xo + 1) % 2::2]
+    i0, j0 = (yo + 1) // 2, (xo + 1) // 2
+    bpad = jnp.pad(ball, ((1, 0), (1, 0)), mode="edge")  # bpad[i+1,j+1]=ball[i,j]
+    b = ball[i0:i0 + ah2, j0:j0 + aw2]
+    has_l = (jnp.arange(aw2) + j0 >= 1)[None, :]
+    has_u = (jnp.arange(ah2) + i0 >= 1)[:, None]
+    b_left = jnp.where(has_l, bpad[1 + i0:1 + i0 + ah2, j0:j0 + aw2], b)
+    b_up = jnp.where(has_u, bpad[i0:i0 + ah2, 1 + j0:1 + j0 + aw2], b)
+    b_lu = jnp.where(has_l & has_u, bpad[i0:i0 + ah2, j0:j0 + aw2], b)
     out = jnp.zeros((adj_h, adj_w), img.dtype)
     out = out.at[0::2, 0::2].set(0.25 * (b + b_left + b_up + b_lu))
     out = out.at[0::2, 1::2].set(0.5 * (b + b_up))
@@ -184,36 +210,43 @@ def _debayer_blue(img: jax.Array, xo: int, yo: int) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("xo", "yo"))
 def _debayer_green(img: jax.Array, xo: int, yo: int) -> jax.Array:
-    """Green channel (debayer.go:128-199): G at the two diagonal positions of
-    each 2x2 cell; missing corners interpolated from the 4 nearest greens,
-    with the reference's sqrt2-weighted extrapolation at frame edges."""
-    d, adj_h, adj_w = _adj_crop(img, xo, yo)
-    g1 = d[0::2, 1::2]  # top-right greens
-    g2 = d[1::2, 0::2]  # bottom-left greens
-    w_edge = 1.0 / (2.0 + _SQRT2)
+    """Green channel (debayer.go:128-199): G at the two diagonal positions
+    of each 2x2 cell; missing corners interpolated from the 4 nearest
+    greens, with the reference's sqrt2-weighted extrapolation ONLY where
+    the source-coordinate neighbor truly does not exist — neighbors just
+    outside the even-crop (odd sizes, offset CFAs) are real samples."""
+    h, w = img.shape
+    adj_w = (w - xo) & ~1
+    adj_h = (h - yo) & ~1
+    ah2, aw2 = adj_h // 2, adj_w // 2
+    # g1: samples at (yo + 2i, xo+1 + 2j); g2: at (yo+1 + 2i, xo + 2j).
+    # Full-image phase grids so out-of-crop neighbors resolve to real data.
+    g1all = img[yo % 2::2, (xo + 1) % 2::2]
+    g2all = img[(yo + 1) % 2::2, xo % 2::2]
+    j0g1 = (xo + 1) // 2  # column of g1[.,0] inside g1all
+    i0g2 = (yo + 1) // 2  # row of g2[0,.] inside g2all
+    g1h = g1all.shape[0]
+    g2w = g2all.shape[1]
+    g1 = g1all[:ah2, j0g1:j0g1 + aw2]
+    g2 = g2all[i0g2:i0g2 + ah2, :aw2]
 
-    # g1Left: green left of cell corner = g2 of cell to the left... the
-    # reference reads data[srcOffset-1] which is the g... position (row even,
-    # col even-1): that's the g1 of the previous cell? data[srcOffset-1] is at
-    # (row, col-1), an odd column on an even row -> a g1 sample of the cell to
-    # the left.
-    g1_left = jnp.concatenate(
-        [((2.0 * g1 + _SQRT2 * g2) * w_edge)[:, :1], g1[:, :-1]], axis=1
-    )
-    # g2Up: data[srcOffset-width] at (row-1, col): even column, odd row -> g2
-    # of the cell above.
-    g2_up = jnp.concatenate(
-        [((_SQRT2 * g1 + 2.0 * g2) * w_edge)[:1, :], g2[:-1, :]], axis=0
-    )
-    # g2Right: data[srcOffset+2+width] at (row+1, col+2) -> g2 of cell to the
-    # right.
-    g2_right = jnp.concatenate(
-        [g2[:, 1:], ((2.0 * g1 + _SQRT2 * g2) * w_edge)[:, -1:]], axis=1
-    )
-    # g1Down: data[srcOffset+1+2*width] at (row+2, col+1) -> g1 of cell below.
-    g1_down = jnp.concatenate(
-        [g1[1:, :], ((_SQRT2 * g1 + 2.0 * g2) * w_edge)[-1:, :]], axis=0
-    )
+    w_edge = 1.0 / (2.0 + _SQRT2)
+    fb_lr = (2.0 * g1 + _SQRT2 * g2) * w_edge  # g1Left/g2Right fallback
+    fb_ud = (_SQRT2 * g1 + 2.0 * g2) * w_edge  # g2Up/g1Down fallback
+
+    g1pad = jnp.pad(g1all, ((0, 1), (1, 0)), mode="edge")  # left+bottom
+    g2pad = jnp.pad(g2all, ((1, 0), (0, 1)), mode="edge")  # top+right
+    has_left = (jnp.arange(aw2) + j0g1 >= 1)[None, :]
+    has_up = (jnp.arange(ah2) + i0g2 >= 1)[:, None]
+    has_right = (jnp.arange(aw2) + 1 < g2w)[None, :]
+    has_down = (jnp.arange(ah2) + 1 < g1h)[:, None]
+
+    g1_left = jnp.where(has_left, g1pad[:ah2, j0g1:j0g1 + aw2], fb_lr)
+    g2_up = jnp.where(has_up, g2pad[i0g2:i0g2 + ah2, :aw2], fb_ud)
+    g2_right = jnp.where(has_right,
+                         g2pad[1 + i0g2:1 + i0g2 + ah2, 1:aw2 + 1], fb_lr)
+    g1_down = jnp.where(has_down,
+                        g1pad[1:ah2 + 1, 1 + j0g1:1 + j0g1 + aw2], fb_ud)
 
     out = jnp.zeros((adj_h, adj_w), img.dtype)
     out = out.at[0::2, 0::2].set(0.25 * (g1 + g2 + g1_left + g2_up))

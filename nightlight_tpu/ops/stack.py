@@ -208,24 +208,39 @@ def _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, wins
         converged value, which is near the new fixed point and cuts the
         iteration count severalfold. The stopping rule (relative change
         <= 5e-4 or no clamped samples) is unchanged, so every start
-        converges to the same fixed point within tolerance."""
+        converges to the same fixed point within tolerance.
+
+        The reference clamps ONE copy progressively across iterations
+        (stack.go:655-660): when the 1.134-adjusted std GROWS, the new
+        bounds widen past the old ones and previously-clamped samples keep
+        their old bound value. A composition of clips equals a single clip
+        at (running max of lower bounds, running min of upper bounds), so
+        the iteration carries those running bounds instead of re-clamping
+        fresh — and a sample counts as "changed" only against a bound that
+        actually tightened this application (tests/test_go_oracles.py pins
+        this against the transliterated per-pixel loop)."""
         c = jnp.maximum(hi - lo, 1)
 
-        def f(std):
+        def f(std, lo_r, hi_r):
             wlo = median - 1.5 * std
             whi = median + 1.5 * std
-            # index of first value >= wlo and first value > whi within range
-            below = _count_range(svals, lo, hi, lambda v: v < wlo)
-            above = _count_range(svals, lo, hi, lambda v: v > whi)
+            nlo = jnp.maximum(lo_r, wlo)  # progressive-clamp running bounds
+            nhi = jnp.minimum(hi_r, whi)
+            # index of first value >= nlo and first value > nhi within range
+            below = _count_range(svals, lo, hi, lambda v: v < nlo)
+            above = _count_range(svals, lo, hi, lambda v: v > nhi)
             a = lo + below
             b = hi - above
             mid_sum = _take(s1, b) - _take(s1, a)
             mid_sq = _take(s2, b) - _take(s2, a)
-            wsum = mid_sum + below * wlo + above * whi
-            wsq = mid_sq + below * wlo * wlo + above * whi * whi
+            wsum = mid_sum + below * nlo + above * nhi
+            wsq = mid_sq + below * nlo * nlo + above * nhi * nhi
             m = wsum / c
             var = wsq / c - m * m
-            return 1.134 * jnp.sqrt(jnp.maximum(var, 0.0)), below + above
+            # samples move only past a bound that tightened this iteration
+            ch = (jnp.where(wlo > lo_r, below, 0)
+                  + jnp.where(whi < hi_r, above, 0))
+            return 1.134 * jnp.sqrt(jnp.maximum(var, 0.0)), ch, nlo, nhi
 
         def body(state):
             # 4 plain applications per control trip, mirroring the Pallas
@@ -234,20 +249,24 @@ def _sigma_clip_core(frames, weights, ref_frame_loc, sigma_low, sigma_high, wins
             # pixels frozen. Aitken/Steffensen acceleration basin-hops on
             # this map (multiple fixed points from the clamp-count steps)
             # and is deliberately not used.
-            std, done, it = state
+            std, lo_r, hi_r, done, it = state
             for _ in range(4):
-                s1, ch = f(std)
+                s1, ch, nlo, nhi = f(std, lo_r, hi_r)
                 fac = jnp.abs(s1 - std) / jnp.maximum(std, 1e-30)
                 new_done = done | (ch == 0) | (fac <= 0.0005)
                 std = jnp.where(done, std, s1)
+                lo_r = jnp.where(done, lo_r, nlo)
+                hi_r = jnp.where(done, hi_r, nhi)
                 done = new_done
-            return std, done, it + 1
+            return std, lo_r, hi_r, done, it + 1
 
         def cond(state):
-            _, done, it = state
+            _, _, _, done, it = state
             return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < 8)
 
-        std, _, _ = jax.lax.while_loop(cond, body, (std0, jnp.zeros_like(std0, bool), 0))
+        inf = jnp.full_like(std0, jnp.inf)
+        std, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (std0, -inf, inf, jnp.zeros_like(std0, bool), 0))
         return std
 
     def body(state):

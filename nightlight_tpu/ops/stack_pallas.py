@@ -258,25 +258,38 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             tail-count, VERDICT r3 item 5) was MEASURED SLOWER despite
             fewer row passes (71.8 vs 62.2 ms at (40, 2M) -- boolean mask
             algebra costs Mosaic more than clip-and-reduce), so the
-            clamped-copy form stays; see BASELINE.md round-4."""
+            clamped-copy form stays; see BASELINE.md round-4.
+
+            The reference clamps ONE copy progressively (stack.go:655-660):
+            when the 1.134-adjusted std grows, the bounds widen and
+            previously-clamped samples keep the old bound value. Clip
+            composition equals one clip at the running (max lower, min
+            upper) bounds, carried per lane through the loop; a sample is
+            "changed" only against a bound that tightened this application
+            (pinned by tests/test_go_oracles.py via the XLA-path identity
+            in tests/test_stack_pallas.py)."""
             c = jnp.maximum(hi - lo, 1).astype(jnp.float32)
             m = range_mask(lo, hi)             # invariant across applications
 
-            def f(std):
+            def f(std, lo_r, hi_r):
                 wlo = median - 1.5 * std
                 whi = median + 1.5 * std
-                clamped = jnp.clip(zero_rows, wlo, whi)
+                nlo = jnp.maximum(lo_r, wlo)   # progressive-clamp bounds
+                nhi = jnp.minimum(hi_r, whi)
+                clamped = jnp.clip(zero_rows, nlo, nhi)
                 wsum = jnp.sum(jnp.where(m, clamped, 0.0), axis=0, keepdims=True)
                 wsq = jnp.sum(jnp.where(m, clamped * clamped, 0.0),
                               axis=0, keepdims=True)
-                ch_lo, ch_hi = rank_counts(lo, hi, wlo, whi)
-                changed = ch_lo + ch_hi
+                ch_lo, ch_hi = rank_counts(lo, hi, nlo, nhi)
+                changed = (jnp.where(wlo > lo_r, ch_lo, 0)
+                           + jnp.where(whi < hi_r, ch_hi, 0))
                 mean = wsum / c
                 var = wsq / c - mean * mean
-                return 1.134 * jnp.sqrt(jnp.maximum(var, 0.0)), changed
+                return (1.134 * jnp.sqrt(jnp.maximum(var, 0.0)), changed,
+                        nlo, nhi)
 
             def wbody(state):
-                std, done_i, it = state
+                std, lo_r, hi_r, done_i, it = state
                 done = done_i > 0
                 # 4 plain applications per control trip: the iterate
                 # sequence per lane is EXACTLY the reference's (a lane
@@ -287,15 +300,17 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
                 # map multiple fixed points and extrapolation basin-hops
                 # (caught by test_stack.py::TestWinsorized::test_vs_golden).
                 for _ in range(4):
-                    s1, ch = f(std)
+                    s1, ch, nlo, nhi = f(std, lo_r, hi_r)
                     fac = jnp.abs(s1 - std) / jnp.maximum(std, 1e-30)
                     new_done = done | (ch == 0) | (fac <= 0.0005)
                     std = jnp.where(done, std, s1)
+                    lo_r = jnp.where(done, lo_r, nlo)
+                    hi_r = jnp.where(done, hi_r, nhi)
                     done = new_done
-                return std, done.astype(jnp.int32), it + 1
+                return std, lo_r, hi_r, done.astype(jnp.int32), it + 1
 
             def wcond(state):
-                _, done_i, it = state
+                _, _, _, done_i, it = state
                 return jnp.logical_and(jnp.logical_not(jnp.all(done_i > 0)), it < 8)
 
             # lanes that already STOPPED clipping (running=False) have no
@@ -303,7 +318,9 @@ def _make_kernel(n_pad: int, n_frames: int, winsorize: bool, weighted: bool, til
             # never prolong the all-lane while loop (late rounds typically
             # have few running lanes -- this is most of the winsor cost)
             done0 = jnp.logical_not(running).astype(jnp.int32)
-            std, _, _ = jax.lax.while_loop(wcond, wbody, (std0, done0, 0))
+            binf = jnp.full_like(std0, _BIG)
+            std, _, _, _, _ = jax.lax.while_loop(
+                wcond, wbody, (std0, -binf, binf, done0, 0))
             return std
 
         def body(state):

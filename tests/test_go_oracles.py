@@ -1,0 +1,361 @@
+"""Ground-truth proxies for Go-binary parity (VERDICT r4 item 6).
+
+No Go toolchain exists in this image, so the decisive reference algorithms
+are transliterated here into slow pure-NumPy oracles — scalar loops with
+the reference's exact control flow, branch structure, and constants — and
+the production TPU paths are asserted against them on shared fixtures.
+Each oracle cites the Go lines it mirrors; a behavior difference between
+this repo and the reference shows up as a failure here, which is the
+strongest parity evidence available without running the reference binary.
+
+Oracles:
+- winsorized sigma-clip stack      (reference internal/ops/stack/stack.go:611-705)
+- plain sigma-clip stack           (reference internal/ops/stack/stack.go:372-436)
+- sigma-clipped median + Qn        (reference internal/stats/stats.go:477-499)
+- bilinear debayer incl. edge quirks (reference internal/ops/pre/debayer.go:26-263)
+"""
+
+import numpy as np
+import pytest
+
+# ---------------------------------------------------------------------------
+# Shared Go-semantics helpers
+# ---------------------------------------------------------------------------
+
+
+def go_median(a):
+    """QSelectMedianFloat32 (qsort.go:68-82): odd n -> middle element; even
+    n -> average of the two middle elements."""
+    s = np.sort(a)
+    k = len(s) >> 1
+    if len(s) & 1:
+        return s[k]
+    return 0.5 * (s[k - 1] + s[k])
+
+
+def go_mean_stddev(a):
+    """stats.MeanStdDev (stats.go:246-262): population variance (n divisor).
+    float32 in, float32 out — the reference computes in float32."""
+    m = a.mean(dtype=np.float32)
+    return m, np.sqrt(((a - m) ** 2).mean(dtype=np.float32))
+
+
+def go_first_quartile(a):
+    """QSelectFirstQuartileFloat32 (qsort.go:61-63): the ((n>>2)+1)-th
+    smallest element (1-indexed)."""
+    k = (len(a) >> 2) + 1
+    return np.partition(a, k - 1)[k - 1]
+
+
+# ---------------------------------------------------------------------------
+# Oracle 1+2: the per-pixel stacking clip loops (stack.go:372-436, 611-705)
+# ---------------------------------------------------------------------------
+
+
+def go_stack_clip_oracle(frames, ref_frame_loc, sigma_low, sigma_high,
+                         winsorize):
+    """Per-pixel transliteration of StackSigma / StackWinsorSigma: gather
+    non-NaN values, loop {median, mean, std(, winsorize std), remove
+    out-of-bounds}, terminate when a round removes nothing or <=1 value
+    remains, writing the mean computed BEFORE that round's removal."""
+    n, p = frames.shape
+    res = np.empty(p, np.float32)
+    clip_lo = clip_hi = 0
+    sigma_low = np.float32(sigma_low)
+    sigma_high = np.float32(sigma_high)
+    for i in range(p):
+        g = frames[:, i]
+        g = g[~np.isnan(g)]
+        if g.size == 0:
+            res[i] = ref_frame_loc  # stack.go:627-637
+            continue
+        g = g.astype(np.float32)  # the reference computes in float32
+        while True:
+            median = go_median(g)
+            mean, std = go_mean_stddev(g)
+            if winsorize:
+                # stack.go:646-672: clamp a COPY progressively at
+                # median +/- 1.5*std, recompute std*1.134, repeat until no
+                # change or relative std change <= 0.0005; median invariant
+                w = g.copy()
+                while True:
+                    lo_b, hi_b = median - 1.5 * std, median + 1.5 * std
+                    changed = int(np.sum((w < lo_b) | (w > hi_b)))
+                    w = np.clip(w, lo_b, hi_b)
+                    old = std
+                    _, std = go_mean_stddev(w)
+                    std *= np.float32(1.134)
+                    if changed == 0 or abs(std - old) / old <= 0.0005:
+                        break
+            lo_b = median - sigma_low * std
+            hi_b = median + sigma_high * std
+            nl = int(np.sum(g < lo_b))
+            nh = int(np.sum(g > hi_b))
+            clip_lo += nl
+            clip_hi += nh
+            keep = g[(g >= lo_b) & (g <= hi_b)]
+            # stack.go:425-429 / 699-703: res[i] = the mean from BEFORE
+            # this round's removal
+            if nl + nh == 0 or keep.size <= 1:
+                res[i] = mean
+                break
+            g = keep
+    return res, clip_lo, clip_hi
+
+
+@pytest.fixture
+def clip_frames():
+    """10 frames x 96 px: Gaussian sky + hot/cold outliers + NaN drops +
+    one all-NaN pixel + one constant pixel (std=0 winsor edge case).
+
+    Seed pinned: any two float implementations of the clip loop (including
+    the Go binary vs this oracle) can flip a sample that lands within
+    float-eps of a computed clip bound; this seed has no such razor-edge
+    sample, so counts and means must match EXACTLY. If a kernel change
+    flips this test by one count, check for a semantic change first."""
+    rng = np.random.default_rng(0)
+    n, p = 10, 96
+    f = rng.normal(1000.0, 10.0, size=(n, p)).astype(np.float32)
+    f[rng.uniform(size=(n, p)) < 0.06] += 300.0  # hot
+    f[rng.uniform(size=(n, p)) < 0.04] -= 250.0  # cold
+    f[rng.uniform(size=(n, p)) < 0.08] = np.nan  # dropped samples
+    f[:, 17] = np.nan                            # fully-dropped pixel
+    f[:, 33] = 500.0                             # constant pixel
+    return f
+
+
+class TestStackClipOracles:
+    REF_LOC = 1234.5
+
+    def _check(self, frames, mode_fn, winsorize, sig=(2.0, 2.0)):
+        import jax.numpy as jnp
+
+        out, cl, ch = mode_fn(jnp.asarray(frames), jnp.float32(self.REF_LOC),
+                              jnp.float32(sig[0]), jnp.float32(sig[1]))
+        ref, rcl, rch = go_stack_clip_oracle(
+            frames, self.REF_LOC, sig[0], sig[1], winsorize)
+        assert int(cl) == rcl and int(ch) == rch
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-2)
+
+    def test_sigma_clip_matches_go_loop(self, clip_frames):
+        from nightlight_tpu.ops.stack import stack_sigma
+
+        self._check(clip_frames, stack_sigma, winsorize=False)
+
+    def test_sigma_clip_asymmetric_bounds(self, clip_frames):
+        from nightlight_tpu.ops.stack import stack_sigma
+
+        self._check(clip_frames, stack_sigma, winsorize=False, sig=(1.5, 3.0))
+
+    def test_winsorized_clip_matches_go_loop(self, clip_frames):
+        from nightlight_tpu.ops.stack import stack_winsor_sigma
+
+        self._check(clip_frames, stack_winsor_sigma, winsorize=True)
+
+    def test_winsorized_asymmetric_bounds(self, clip_frames):
+        from nightlight_tpu.ops.stack import stack_winsor_sigma
+
+        self._check(clip_frames, stack_winsor_sigma, winsorize=True,
+                    sig=(1.2, 2.6))
+
+    def test_all_nan_pixel_gets_ref_frame_loc(self, clip_frames):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stack import stack_sigma
+
+        out, _, _ = stack_sigma(jnp.asarray(clip_frames),
+                                jnp.float32(self.REF_LOC),
+                                jnp.float32(2.0), jnp.float32(2.0))
+        assert float(out[17]) == self.REF_LOC
+
+
+# ---------------------------------------------------------------------------
+# Oracle 3: sigma-clipped median + Qn estimator (stats.go:477-499)
+# ---------------------------------------------------------------------------
+
+
+def go_sigma_clipped_median_qn_oracle(data, sigma_low, sigma_high,
+                                      epsilon=1e-4, quirk=True):
+    """FastApproxSigmaClippedMedianAndQn with the sampling replaced by
+    exact median / exact all-pairs Qn (the deterministic limit of the
+    reference's randomized estimators). Keeps every structural property:
+    BOTH clip bounds use sigma_low (stats.go:483-484 — the quirk; pass
+    quirk=False to see what the non-quirk variant would return), the
+    bounded Qn is scaled by 1.134, exit on |dLoc|+|dScale| <= epsilon or
+    i >= 10 RETURNING THE PREVIOUS location (stats.go:491-494), and the
+    final scale is an UNBOUNDED Qn of the full data (stats.go:492)."""
+
+    def qn(x):
+        d = np.abs(x[:, None] - x[None, :])
+        d = d[np.triu_indices(len(x), k=1)]
+        return go_first_quartile(d) * 2.21914
+
+    loc = go_median(data)
+    scale = qn(data)
+    i = 0
+    while True:
+        lo = loc - sigma_low * scale
+        hi = loc + (sigma_low if quirk else sigma_high) * scale
+        sub = data[(data >= lo) & (data <= hi)]
+        new_loc = go_median(sub)
+        new_scale = qn(sub) * 1.134
+        if abs(new_loc - loc) + abs(new_scale - scale) <= epsilon or i >= 10:
+            return loc, qn(data)
+        loc, scale = new_loc, new_scale
+        i += 1
+
+
+class TestSigmaClippedMedianQnOracle:
+    def test_matches_exact_oracle_and_keeps_the_quirk(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import sigma_clipped_median_qn
+
+        # 35% contamination at +6 sigma: with the quirk (high bound at
+        # loc + sigma_LOW*scale) the contamination is clipped and the
+        # location lands near the true center; a non-quirk implementation
+        # (sigma_high=8 for the high bound) keeps it inside the clip window
+        # and sits visibly higher (~1.5 apart on this fixture). The
+        # returned scale is the unbounded full-data Qn either way
+        # (stats.go:492), so location is the discriminator.
+        rng = np.random.default_rng(42)
+        base = rng.normal(100.0, 2.0, size=2600)
+        contam = rng.normal(112.0, 2.0, size=1400)
+        data = np.concatenate([base, contam]).astype(np.float32)
+        rng.shuffle(data)
+
+        loc, scale = sigma_clipped_median_qn(
+            jnp.asarray(data), sigma_low=2.0, sigma_high=8.0,
+            key=jax.random.PRNGKey(11), num_samples=16384)
+        loc, scale = float(loc), float(scale)
+
+        oloc, oscale = go_sigma_clipped_median_qn_oracle(
+            np.float64(data), 2.0, 8.0, quirk=True)
+        nloc, _ = go_sigma_clipped_median_qn_oracle(
+            np.float64(data), 2.0, 8.0, quirk=False)
+
+        # the quirk matters on this fixture: the two oracles disagree
+        assert abs(nloc - oloc) > 0.5
+        # ours tracks the quirk oracle (sampling noise ~O(1/sqrt(16k)))
+        assert loc == pytest.approx(oloc, abs=0.3)
+        assert abs(loc - oloc) < abs(loc - nloc)
+        # final scale = unbounded Qn of the contaminated data
+        assert scale == pytest.approx(oscale, rel=0.15)
+
+    def test_clean_gaussian_recovers_sigma(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import sigma_clipped_median_qn
+
+        data = rng.normal(500.0, 7.0, size=4000).astype(np.float32)
+        loc, scale = sigma_clipped_median_qn(
+            jnp.asarray(data), sigma_low=2.0, sigma_high=2.0,
+            key=jax.random.PRNGKey(3), num_samples=16384)
+        oloc, oscale = go_sigma_clipped_median_qn_oracle(np.float64(data),
+                                                         2.0, 2.0)
+        assert float(loc) == pytest.approx(oloc, abs=0.35)
+        assert float(scale) == pytest.approx(oscale, rel=0.1)
+        assert float(scale) == pytest.approx(7.0, rel=0.12)
+
+
+# ---------------------------------------------------------------------------
+# Oracle 4: bilinear debayer with the reference's edge quirks
+# (debayer.go:26-263)
+# ---------------------------------------------------------------------------
+
+_SQRT2 = np.float32(np.sqrt(2.0))
+_CFA_OFF = {"RGGB": (0, 0), "GRBG": (1, 0), "GBRG": (0, 1), "BGGR": (1, 1)}
+
+
+def go_debayer_oracle(data, channel, cfa):
+    """Scalar transliteration of DebayerBilinearRGGBTo{Red,Green,Blue}
+    including the NESTED edge conditionals: e.g. red's diagonal neighbor
+    rRD falls back to r (not rRight/rDown) whenever the pixel sits on the
+    bottom row OR right column (debayer.go:85-99), and blue mirrors that
+    at the top/left (debayer.go:223-237)."""
+    xo, yo = _CFA_OFF[cfa.upper()]
+    h, w = data.shape
+    aw = (w - xo) & ~1
+    ah = (h - yo) & ~1
+    out = np.zeros((ah, aw), np.float32)
+    d = data
+
+    for row in range(0, ah, 2):
+        for col in range(0, aw, 2):
+            sr, sc = row + yo, col + xo
+            if channel == "R":
+                r = d[sr, sc]
+                r_right, r_down, r_rd = r, r, r
+                if sc < w - 2:
+                    r_right = d[sr, sc + 2]
+                    if sr < h - 2:
+                        r_down = d[sr + 2, sc]
+                        r_rd = d[sr + 2, sc + 2]
+                elif sr < h - 2:
+                    r_down = d[sr + 2, sc]
+                out[row, col] = r
+                out[row, col + 1] = 0.5 * (r + r_right)
+                out[row + 1, col] = 0.5 * (r + r_down)
+                out[row + 1, col + 1] = 0.25 * (r + r_right + r_down + r_rd)
+            elif channel == "G":
+                g1 = d[sr, sc + 1]
+                g2 = d[sr + 1, sc]
+                wgt = np.float32(1.0 / (2.0 + _SQRT2))
+                g1_left = (2.0 * g1 + _SQRT2 * g2) * wgt
+                g2_up = (_SQRT2 * g1 + 2.0 * g2) * wgt
+                if sc > 0:
+                    g1_left = d[sr, sc - 1]
+                if sr > 0:
+                    g2_up = d[sr - 1, sc]
+                g2_right = (2.0 * g1 + _SQRT2 * g2) * wgt
+                g1_down = (_SQRT2 * g1 + 2.0 * g2) * wgt
+                if sc < w - 2:
+                    g2_right = d[sr + 1, sc + 2]
+                if sr < h - 2:
+                    g1_down = d[sr + 2, sc + 1]
+                out[row, col] = 0.25 * (g1 + g2 + g1_left + g2_up)
+                out[row, col + 1] = g1
+                out[row + 1, col] = g2
+                out[row + 1, col + 1] = 0.25 * (g1 + g2 + g2_right + g1_down)
+            else:  # B
+                b = d[sr + 1, sc + 1]
+                b_left, b_up, b_lu = b, b, b
+                if sc > 0:
+                    b_left = d[sr + 1, sc - 1]
+                    if sr > 0:
+                        b_up = d[sr - 1, sc + 1]
+                        b_lu = d[sr - 1, sc - 1]
+                elif sr > 0:
+                    b_up = d[sr - 1, sc + 1]
+                out[row, col] = 0.25 * (b + b_left + b_up + b_lu)
+                out[row, col + 1] = 0.5 * (b + b_up)
+                out[row + 1, col] = 0.5 * (b + b_left)
+                out[row + 1, col + 1] = b
+    return out
+
+
+class TestDebayerOracle:
+    @pytest.mark.parametrize("cfa", ["RGGB", "GRBG", "GBRG", "BGGR"])
+    @pytest.mark.parametrize("channel", ["R", "G", "B"])
+    def test_matches_go_including_edges(self, cfa, channel, rng):
+        from nightlight_tpu.ops.prestack import debayer_bilinear
+
+        # distinct values everywhere so any wrong neighbor pick is visible
+        data = rng.uniform(0.0, 1000.0, size=(12, 14)).astype(np.float32)
+        got = np.asarray(debayer_bilinear(data, channel, cfa))
+        ref = go_debayer_oracle(data, channel, cfa)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
+
+    @pytest.mark.parametrize("shape", [(9, 11), (10, 11), (9, 12), (6, 6)])
+    def test_odd_sizes_crop_like_reference(self, shape, rng):
+        from nightlight_tpu.ops.prestack import debayer_bilinear
+
+        data = rng.uniform(0.0, 1000.0, size=shape).astype(np.float32)
+        for cfa in ("RGGB", "BGGR"):
+            for ch in ("R", "G", "B"):
+                got = np.asarray(debayer_bilinear(data, ch, cfa))
+                ref = go_debayer_oracle(data, ch, cfa)
+                assert got.shape == ref.shape
+                np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
