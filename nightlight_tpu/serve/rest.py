@@ -171,15 +171,24 @@ class Handler(BaseHTTPRequestHandler):
             return
         log.write("Arguments:\n" + op.to_json() + "\n")
         c = new_context(log=log, st_memory=_st_memory, ls_mode=LSEstimatorMode.SCMedianQn)
-        with _job_lock:
-            try:
-                promises = op.make_promises([], c)
-                _, err = materialize_all(promises, c.max_threads, True)
-                c.finalize()
-                if err is not None:
-                    log.write(f"Error materializing promises: {err}\n")
-            except Exception as e:  # noqa: BLE001
-                log.write(f"Error making promises: {e}\n")
+        # Queue, don't reject: a live-stacking client POSTing the next
+        # frame's job during a long stack should wait its turn, not retry.
+        # The wait is announced on the stream immediately so the client is
+        # not left staring at a silent connection (the reference streams
+        # with no guard at all, serve.go:95-139 — concurrent jobs race).
+        if not _job_lock.acquire(blocking=False):
+            log.write("Queued: another job is running; waiting for the device...\n")
+            _job_lock.acquire()
+        try:
+            promises = op.make_promises([], c)
+            _, err = materialize_all(promises, c.max_threads, True)
+            c.finalize()
+            if err is not None:
+                log.write(f"Error materializing promises: {err}\n")
+        except Exception as e:  # noqa: BLE001
+            log.write(f"Error making promises: {e}\n")
+        finally:
+            _job_lock.release()
         log.close_chunks()
 
     def log_message(self, fmt, *args):  # quiet default request logging

@@ -244,3 +244,47 @@ class TestConcurrentJobs:
             t.join(timeout=120)
         for b in bodies:
             assert b is not None and "Loaded" in b and "Error" not in b, b
+
+    def test_queued_job_announces_wait_then_completes(self, server, tmp_path, rng):
+        """Deterministic overlap (VERDICT r4 item 7): while a job holds the
+        device lock, a second POST must immediately stream a queued notice
+        (not sit on a silent connection) and still complete once the lock
+        frees. The reference streams with no guard at all (serve.go:95-139)."""
+        import urllib.request
+
+        from nightlight_tpu.serve import rest
+
+        url, _ = server
+        from tests.test_pipeline_e2e import write_frames
+        write_frames(tmp_path, rng, n_frames=2, h=128, w=128)
+
+        job = json.dumps({"type": "seq", "steps": [
+            {"type": "loadMany", "filePatterns": ["light*.fits"]},
+        ]}).encode()
+
+        assert rest._job_lock.acquire(timeout=5)  # simulate a running job
+        got_notice = threading.Event()
+        body = {}
+
+        def post():
+            req = urllib.request.Request(url + "/api/v1/job", data=job,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                lines = []
+                for raw in resp:
+                    line = raw.decode()
+                    lines.append(line)
+                    if "Queued:" in line:
+                        got_notice.set()
+                body["text"] = "".join(lines)
+
+        t = threading.Thread(target=post)
+        t.start()
+        try:
+            # the queued notice must arrive WHILE the lock is held
+            assert got_notice.wait(timeout=30), "no queued notice streamed"
+            assert "text" not in body  # job must not have run yet
+        finally:
+            rest._job_lock.release()
+        t.join(timeout=120)
+        assert "Loaded" in body["text"] and "Error" not in body["text"]
