@@ -144,6 +144,8 @@ class BulkUploader:
         self.n_uploads = 0  # observability: grouped transfers dispatched
         self.packed_uploads = 0  # of which bit-packed (io/pack.py)
         self.wire_bytes = 0  # actual H2D payload bytes dispatched
+        self.raw_bytes_total = 0  # what the same frames cost un-packed
+        self._summarized = False
         # EMA of observed upload-dispatch throughput (MB/s). jnp.asarray
         # backpressures the dispatching thread at the wire rate for
         # multi-MB payloads (BASELINE.md round-4 transport findings), so
@@ -280,11 +282,16 @@ class BulkUploader:
 
     def _note_upload(self, nbytes: int, dt: float) -> None:
         """Fold one dispatch timing into the wire-rate EMA. Sub-5ms
-        dispatches are queue handoffs, not wire measurements (CPU tests,
-        tiny groups) and are ignored."""
+        dispatches and implied rates beyond what the tunnel can physically
+        sustain (~750 MB/s best-band, BASELINE.md) are queue handoffs, not
+        wire measurements — the backend buffers smaller payloads before the
+        dispatch thread backpressures (a 16MB packed upload measured an
+        implied 1.3 GB/s in a ~25 MB/s band) — and are ignored."""
         if dt < 0.005 or nbytes < (1 << 20):
             return
         rate = nbytes / (1 << 20) / dt
+        if rate > 800.0:
+            return
         self._h2d_mbps = (rate if self._h2d_mbps is None
                           else 0.5 * self._h2d_mbps + 0.5 * rate)
 
@@ -317,6 +324,19 @@ class BulkUploader:
             self._decode_group(v)
         img = self._ready.pop(name)
         self._ready_bytes -= int(math.prod(img.naxisn)) * 4
+        if not self._pending and not self._ready and not self._summarized:
+            # one observability line when the run's ingest drains: the
+            # actual wire payload vs raw u16, and the measured wire rate
+            self._summarized = True
+            raw_mb = self.raw_bytes_total / (1 << 20)
+            wire_mb = self.wire_bytes / (1 << 20)
+            saved = 100.0 * (1.0 - wire_mb / raw_mb) if raw_mb else 0.0
+            rate = (f", ~{self._h2d_mbps:.0f} MB/s observed"
+                    if self._h2d_mbps else "")
+            self._log.write(
+                f"Ingest: {self.n_uploads} grouped uploads "
+                f"({self.packed_uploads} bit-packed), {wire_mb:.1f} MB wire"
+                f" of {raw_mb:.1f} MB raw ({saved:.0f}% saved{rate})\n")
         return img
 
     def _group_limit(self, signature) -> int:
@@ -432,6 +452,8 @@ class BulkUploader:
             grp = _PendingGroup([(nm, im) for nm, im, _ in members], packed,
                                 bscale, bzero, bitpix, shape, raw_bytes)
         self.wire_bytes += raw_bytes
+        self.raw_bytes_total += views[0].nbytes * g if pg is None \
+            else g * int(np.prod(shape)) * (2 if bitpix == 16 else 1)
         for nm, _, _ in members:
             self._ready[nm] = grp
         self._ready_bytes += raw_bytes

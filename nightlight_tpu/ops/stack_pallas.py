@@ -426,9 +426,30 @@ def _stack_clip_pallas(frames2d: jax.Array, params: jax.Array, weights,
             jax.ShapeDtypeStruct((1, p), jnp.float32),
             jax.ShapeDtypeStruct((2, p), jnp.int32),
         ],
+        compiler_params=_sched_params(),
         interpret=INTERPRET,
     )(*inputs)
     return out[0], jnp.sum(clips[0]), jnp.sum(clips[1])
+
+
+def _sched_params():
+    """Mosaic scheduling experiment hook (VERDICT r4 item 5), read at trace
+    time: NIGHTLIGHT_PALLAS_SCHED in {parallel, arbitrary, nobounds,
+    parallel+nobounds}. Unset = Mosaic defaults (the shipped configuration;
+    scripts/microbench_sched.py measures the variants per process)."""
+    import os
+
+    sched = os.environ.get("NIGHTLIGHT_PALLAS_SCHED")
+    if not sched:
+        return None
+    kw = {}
+    if "parallel" in sched:
+        kw["dimension_semantics"] = (pltpu.GridDimensionSemantics.PARALLEL,)
+    elif "arbitrary" in sched:
+        kw["dimension_semantics"] = (pltpu.GridDimensionSemantics.ARBITRARY,)
+    if "nobounds" in sched:
+        kw["disable_bounds_checks"] = True
+    return pltpu.CompilerParams(**kw) if kw else None
 
 
 def _make_single_pass_kernel(n_pad: int, n_frames: int, mad: bool, tile: int):

@@ -240,6 +240,8 @@ class TestPackGuards:
         up = BulkUploader([(0, "x.fits")], io.StringIO(), frame_bytes=2048)
         up._note_upload(32 << 20, 0.001)  # sub-5ms: not a wire measurement
         assert up._h2d_mbps is None
+        up._note_upload(16 << 20, 0.012)  # implied 1.3 GB/s: buffered, not wire
+        assert up._h2d_mbps is None
         up._note_upload(32 << 20, 1.0)
         assert up._h2d_mbps == 32.0
         up._note_upload(32 << 20, 0.5)  # EMA folds in the new reading
