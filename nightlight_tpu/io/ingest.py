@@ -254,14 +254,17 @@ class BulkUploader:
                 or os.environ.get("NIGHTLIGHT_NO_PACK"):
             return None
         # Band gate (ADVICE r4): host-side packing costs ~115 MB/s of CPU
-        # on the 1-core host (measured, io/pack.py), so above ~60 MB/s of
-        # observed wire rate the pack time exceeds the wire seconds it
-        # saves (break-even for the typical 2x saving: rate = saved_bytes /
-        # pack_time ~ 55 MB/s). Unmeasured (first group) packs: bad bands
-        # are this tunnel's common case and one wasted pack is <1 s.
-        # NIGHTLIGHT_PACK=1 forces packing regardless of the band.
+        # on the 1-core host (measured, io/pack.py), so at high wire rates
+        # the pack time exceeds the wire seconds it saves. The static
+        # break-even estimate (~55 MB/s for a 2x saving) proved too
+        # conservative: the measured 500x1MP interleaved A/B won 1.34-1.40x
+        # end-to-end in a ~70 MB/s band (BASELINE.md round-5) because pack
+        # CPU partially hides behind earlier uploads draining and saved
+        # wire also saves stall exposure. Default gate 120 MB/s. Unmeasured
+        # (first group) packs: bad bands are this tunnel's common case and
+        # one wasted pack is <1 s. NIGHTLIGHT_PACK=1 forces packing.
         if not os.environ.get("NIGHTLIGHT_PACK"):
-            max_mbps = float(os.environ.get("NIGHTLIGHT_PACK_MAX_MBPS", "60"))
+            max_mbps = float(os.environ.get("NIGHTLIGHT_PACK_MAX_MBPS", "120"))
             if self._h2d_mbps is not None and self._h2d_mbps > max_mbps:
                 return None
         from nightlight_tpu.io.pack import pack_group
