@@ -85,10 +85,27 @@ class TestEmitContract:
 
 class TestBudget:
     def test_est_phase_sec_uses_band_floor(self):
-        # unknown band -> assumes 30 MB/s; terrible band floors at 3 MB/s
+        # unknown band -> assumes 30 MB/s; a MEASURED bad band is honored
+        # down to the 0.5 MB/s floor (not rounded up to "fits")
         assert bench._est_phase_sec(300.0, {}, 1, 60.0) == 300.0 / 30.0 + 60.0
         est_bad = bench._est_phase_sec(300.0, {"h2d_mbps": 0.5}, 1, 60.0)
-        assert est_bad == 300.0 / 3.0 + 60.0
+        assert est_bad == 300.0 / 0.5 + 60.0
+
+    def test_est_phase_sec_measured_zero_band_is_not_unknown(self):
+        # a probe that rounds to 0.0 MB/s must estimate at the floor, not
+        # fall back to the optimistic 30 MB/s default (round-4 rc=124 trap)
+        est = bench._est_phase_sec(300.0, {"h2d_mbps": 0.0}, 1, 60.0)
+        assert est == 300.0 / 0.5 + 60.0
+
+    def test_est_phase_sec_pack_discount_below_gate(self):
+        # packable phases ship ~55% of the raw wire below the 120 MB/s
+        # pack gate; at/above the gate raw bytes ship unpacked
+        low = bench._est_phase_sec(1000.0, {"h2d_mbps": 60.0}, 1, 0.0,
+                                   packable=True)
+        assert low == 1000.0 * 0.55 / 60.0
+        high = bench._est_phase_sec(1000.0, {"h2d_mbps": 200.0}, 1, 0.0,
+                                    packable=True)
+        assert high == 1000.0 / 200.0
 
     def test_timing_stamp(self):
         assert bench._timing_stamp(3) == "warm best-of-3"
