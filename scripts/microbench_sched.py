@@ -22,6 +22,9 @@ VARIANTS = ("", "parallel", "arbitrary", "nobounds", "parallel+nobounds")
 _CHILD = r"""
 import os, sys, time
 sys.path.insert(0, %(repo)r)
+from nightlight_tpu.cli import _enable_compilation_cache
+_enable_compilation_cache()  # a re-run of the sweep must not pay the 5-10
+                             # min remote compile per variant twice
 import jax, jax.numpy as jnp, numpy as np
 from nightlight_tpu.ops.stack_pallas import stack_sigma_pallas
 
@@ -62,7 +65,7 @@ def main():
             env.pop("NIGHTLIGHT_PALLAS_SCHED", None)
         out = subprocess.run([sys.executable, "-c", _CHILD % {"repo": repo}],
                              env=env, capture_output=True, text=True,
-                             timeout=900)
+                             timeout=1200)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT")]
         print(line[0] if line else f"{variant or 'default'}: FAILED\n{out.stderr[-800:]}",
               flush=True)
