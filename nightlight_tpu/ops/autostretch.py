@@ -29,10 +29,18 @@ ACT_GAMMA, ACT_BLACK, ACT_DONE_GAMMA, ACT_DONE = 0.0, 1.0, 2.0, 3.0
 
 def _ideal_gamma(loc, scale, target_loc, target_scale):
     """Gamma search in [1, 5] step 0.01 minimizing the post-stretch scale
-    error (stretch.go:118-140), as vector math on device."""
+    error (stretch.go:118-140), as vector math on device.
+
+    Faithful Go quirk: when loc < scale, `math.Pow(loc-scale, 1/gamma)` is
+    NaN for every candidate, and Go's `math.Max(0, NaN)` KEEPS the NaN
+    (stretch.go:124,131), so every candidate delta is NaN, no candidate
+    ever beats the baseline, and the search returns gamma 1 — i.e. the
+    stretch declares itself done on images whose scale exceeds their
+    location. jnp.power/jnp.maximum propagate NaN the same way, so the
+    delta[best] < baseline comparison below is False exactly as in Go."""
     gammas = jnp.arange(1.0, 5.0 + 1e-9, 0.01, jnp.float32)
     exponent = 1.0 / gammas
-    new_loc_lower = jnp.power(jnp.maximum(loc - scale, 0.0), exponent)
+    new_loc_lower = jnp.power(loc - scale, exponent)
     new_loc = jnp.power(loc, exponent)
     new_loc_upper = jnp.power(loc + scale, exponent)
     black = (target_loc - new_loc) / (target_loc - 1.0)
@@ -43,6 +51,25 @@ def _ideal_gamma(loc, scale, target_loc, target_scale):
     best = jnp.argmin(delta)
     return jnp.where(delta[best] < jnp.abs(target_scale - scale),
                      gammas[best], 1.0)
+
+
+def stretch_decision(loc, scale, target_loc, target_scale):
+    """One round of the reference's stretch branch logic
+    (stretch.go:117-155): returns (action, param) where action is one of
+    the ACT_* codes and param is the gamma (ACT_GAMMA) or the location the
+    black shift moves to target (ACT_BLACK). Pure function of the four
+    scalars — unit-tested against a Go-faithful oracle in
+    tests/test_go_oracles.py."""
+    gamma = _ideal_gamma(loc, scale, target_loc, target_scale)
+    cond1 = (loc <= target_loc * 1.01) & (scale < target_scale)
+    cond2 = jnp.logical_not(cond1) & (loc > target_loc * 0.99) \
+        & (scale < target_scale)
+    action = jnp.where(cond1 & (gamma > 1.01), ACT_GAMMA,
+                       jnp.where(cond1, ACT_DONE_GAMMA,
+                                 jnp.where(cond2, ACT_BLACK, ACT_DONE)))
+    param = jnp.where(action == ACT_GAMMA, gamma,
+                      jnp.where(action == ACT_BLACK, loc, 0.0))
+    return action, param
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -65,15 +92,8 @@ def auto_stretch(data: jax.Array, target_loc, target_scale, max_iter: int = 50):
         me = jnp.mean(flat)
         loc, scale = sigma_clipped_median_qn(
             flat, 2.0, 2.0, (mx - mn) / 65535.0, jax.random.PRNGKey(0))
-        gamma = _ideal_gamma(loc, scale, target_loc, target_scale)
-
-        cond1 = (loc <= target_loc * 1.01) & (scale < target_scale)
-        cond2 = jnp.logical_not(cond1) & (loc > target_loc * 0.99) & (scale < target_scale)
-        action = jnp.where(cond1 & (gamma > 1.01), ACT_GAMMA,
-                           jnp.where(cond1, ACT_DONE_GAMMA,
-                                     jnp.where(cond2, ACT_BLACK, ACT_DONE)))
-        param = jnp.where(action == ACT_GAMMA, gamma,
-                          jnp.where(action == ACT_BLACK, loc, 0.0))
+        action, param = stretch_decision(loc, scale, target_loc, target_scale)
+        gamma = param  # ACT_GAMMA rounds carry the gamma in param
         hist = hist.at[i].set(jnp.stack([loc, scale, mn, me, mx, action, param]))
 
         # black point such that `loc` maps to target_loc (pixelops.go:649-660)

@@ -359,3 +359,112 @@ class TestDebayerOracle:
                 ref = go_debayer_oracle(data, ch, cfa)
                 assert got.shape == ref.shape
                 np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Oracle 5: the iterative auto-stretch decision (stretch.go:103-159)
+# ---------------------------------------------------------------------------
+
+
+def go_stretch_decision_oracle(loc, scale, tloc, tscale):
+    """Scalar transliteration of one OpStretchIterative round
+    (stretch.go:117-155): the 401-step gamma grid search accumulated in
+    float32 exactly as Go's `gamma += 0.01`, float64 math.Pow on float32
+    operands, and — decisively — Go's NaN semantics: when loc < scale,
+    math.Pow(loc-scale, 1/gamma) is NaN and math.Max(0, NaN) KEEPS the NaN
+    (np.maximum matches; Python's max() would not), so every candidate
+    delta is NaN, nothing beats the baseline, and the search yields gamma 1
+    = "done". Returns (action, param) with ops.autostretch's ACT_* codes."""
+    from nightlight_tpu.ops.autostretch import (
+        ACT_BLACK, ACT_DONE, ACT_DONE_GAMMA, ACT_GAMMA)
+
+    loc, scale, tloc, tscale = (np.float32(v)
+                                for v in (loc, scale, tloc, tscale))
+    if loc <= tloc * np.float32(1.01) and scale < tscale:
+        ideal_gamma = np.float32(1.0)
+        ideal_delta = np.float32(abs(np.float64(tscale) - np.float64(scale)))
+        gamma = np.float32(1.0)
+        while gamma <= np.float32(5.0):
+            e = 1.0 / np.float64(gamma)
+            with np.errstate(invalid="ignore"):
+                nl_lower = np.float32(
+                    np.power(np.float64(loc) - np.float64(scale), e))
+                nl = np.float32(np.power(np.float64(loc), e))
+                nl_upper = np.float32(
+                    np.power(np.float64(loc) + np.float64(scale), e))
+            black = (tloc - nl) / (tloc - np.float32(1.0))
+            s = np.float32(1.0) / (np.float32(1.0) - black)
+            lower = np.float32(np.maximum(np.float64(0.0),
+                                          np.float64((nl_lower - black) * s)))
+            upper = np.float32(np.maximum(np.float64(0.0),
+                                          np.float64((nl_upper - black) * s)))
+            new_scale = np.float32(upper - lower) / np.float32(2.0)
+            delta = np.float32(abs(np.float64(tscale) - np.float64(new_scale)))
+            if delta < ideal_delta:  # NaN delta never wins (stretch.go:136)
+                ideal_gamma, ideal_delta = gamma, delta
+            gamma = np.float32(gamma + np.float32(0.01))
+        if ideal_gamma <= np.float32(1.01):
+            return ACT_DONE_GAMMA, 0.0
+        return ACT_GAMMA, float(ideal_gamma)
+    elif loc > tloc * np.float32(0.99) and scale < tscale:
+        return ACT_BLACK, float(loc)
+    return ACT_DONE, 0.0
+
+
+class TestStretchDecisionOracle:
+    TLOC, TSCALE = 0.1, 0.004  # OpStretchIterative defaults (stretch.go:79)
+
+    def _both(self, loc, scale):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.autostretch import stretch_decision
+
+        a, p = stretch_decision(jnp.float32(loc), jnp.float32(scale),
+                                jnp.float32(self.TLOC),
+                                jnp.float32(self.TSCALE))
+        oa, op_ = go_stretch_decision_oracle(loc, scale, self.TLOC,
+                                             self.TSCALE)
+        return (float(a), float(p)), (oa, op_)
+
+    def test_gamma_round_matches_go_grid_search(self):
+        (a, p), (oa, op_) = self._both(0.05, 0.0015)
+        from nightlight_tpu.ops.autostretch import ACT_GAMMA
+
+        assert a == oa == ACT_GAMMA
+        # the oracle accumulates its grid in f32 (Go) while production uses
+        # arange: the selected gammas may sit one 0.01 step apart at ties
+        assert abs(p - op_) <= 0.0101
+
+    def test_black_shift_round(self):
+        (a, p), (oa, op_) = self._both(0.2, 0.001)
+        from nightlight_tpu.ops.autostretch import ACT_BLACK
+
+        assert a == oa == ACT_BLACK
+        assert p == pytest.approx(op_, rel=1e-6)
+
+    def test_done_when_scale_reached(self):
+        (a, _), (oa, _) = self._both(0.05, 0.005)
+        from nightlight_tpu.ops.autostretch import ACT_DONE
+
+        assert a == oa == ACT_DONE
+
+    def test_nan_quirk_loc_below_scale_declares_done(self):
+        # loc < scale poisons every Go candidate with NaN -> gamma 1 ->
+        # done. A clamped pow (max(loc-scale, 0)) would instead pick a
+        # real gamma and keep stretching — the divergence this oracle
+        # exists to catch.
+        (a, _), (oa, _) = self._both(0.001, 0.003)
+        from nightlight_tpu.ops.autostretch import ACT_DONE_GAMMA
+
+        assert a == oa == ACT_DONE_GAMMA
+
+    def test_randomized_sweep_actions_always_match(self, rng):
+        for _ in range(60):
+            loc = float(rng.uniform(0.0005, 0.3))
+            scale = float(rng.uniform(0.0002, 0.008))
+            (a, p), (oa, op_) = self._both(loc, scale)
+            assert a == oa, (loc, scale)
+            from nightlight_tpu.ops.autostretch import ACT_GAMMA
+
+            if a == ACT_GAMMA:
+                assert abs(p - op_) <= 0.0101, (loc, scale)
