@@ -167,8 +167,14 @@ def _select_stars_over_hfr(lights):
 
 
 def _select_median_loc(lights):
-    """Frame with location closest to the median location (refframe.go:229-258)."""
-    locs = [f.stats.location for f in lights if f is not None]
+    """Frame with location closest to the median location (refframe.go:229-258).
+
+    NaN locations are removed BEFORE the median (refframe.go:233,
+    removeNaNs) and can never win the closest race afterwards (Go's
+    `distSq < closestDistSq` is false for NaN) — a single all-NaN frame
+    must not poison the median for the whole set."""
+    locs = [f.stats.location for f in lights
+            if f is not None and not np.isnan(f.stats.location)]
     if not locs:
         raise ValueError("Unable to select reference frame with median location")
     median_loc = float(np.median(np.array(locs, np.float32)))
@@ -177,7 +183,7 @@ def _select_median_loc(lights):
         if f is None:
             continue
         d = (f.stats.location - median_loc) ** 2
-        if d < best_d:
+        if d < best_d:  # NaN distance never wins, as in Go
             best, best_d = f, d
     return best, median_loc
 

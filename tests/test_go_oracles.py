@@ -468,3 +468,73 @@ class TestStretchDecisionOracle:
 
             if a == ACT_GAMMA:
                 assert abs(p - op_) <= 0.0101, (loc, scale)
+
+
+# ---------------------------------------------------------------------------
+# Oracle 6: reference-frame selection (refframe.go:212-258)
+# ---------------------------------------------------------------------------
+
+
+def go_select_median_loc_oracle(locations):
+    """selectReferenceMedianLoc (refframe.go:229-258): drop NaNs
+    (removeNaNs, stable), QSelect median (even n -> average of middle two),
+    then the first frame whose squared distance to the median strictly
+    beats the best so far — NaN distances never win. Returns
+    (index, median)."""
+    clean = [v for v in locations if not np.isnan(v)]
+    if not clean:
+        return None, None
+    median = go_median(np.array(clean, np.float32))
+    best, best_d = None, np.float32(np.finfo(np.float32).max)
+    for i, v in enumerate(locations):
+        d = np.float32(v - median) ** 2
+        if d < best_d:
+            best, best_d = i, d
+    return best, float(median)
+
+
+class TestSelectRefOracle:
+    def _frames(self, locations):
+        from types import SimpleNamespace
+
+        return [SimpleNamespace(id=i, stats=SimpleNamespace(location=v))
+                for i, v in enumerate(locations)]
+
+    @pytest.mark.parametrize("locs", [
+        [0.11, 0.09, 0.10, 0.30, 0.05],
+        [0.2, 0.1],                       # even n: median is the average
+        [1.0],
+        [0.5, float("nan"), 0.1, 0.11],   # NaN frame must not poison
+        [float("nan"), float("nan"), 7.0],
+    ])
+    def test_median_loc_matches_go(self, locs):
+        from nightlight_tpu.pipeline.ops_ref import _select_median_loc
+
+        frame, median = _select_median_loc(self._frames(locs))
+        oidx, omedian = go_select_median_loc_oracle(locs)
+        assert frame.id == oidx
+        assert median == pytest.approx(omedian, rel=1e-6)
+
+    def test_all_nan_raises_like_go_errors(self):
+        from nightlight_tpu.pipeline.ops_ref import _select_median_loc
+
+        with pytest.raises(ValueError):
+            _select_median_loc(self._frames([float("nan")] * 3))
+
+    def test_stars_over_hfr_matches_go(self):
+        # score = len(stars)/HFR, zeroed when no stars or HFR==0
+        # (refframe.go:212-227); first maximum wins, a zero-score frame
+        # still beats the -1 sentinel
+        from types import SimpleNamespace
+
+        from nightlight_tpu.pipeline.ops_ref import _select_stars_over_hfr
+
+        def fr(i, n, hfr):
+            return SimpleNamespace(id=i, stars=list(range(n)), hfr=hfr)
+
+        frames = [fr(0, 0, 3.0), fr(1, 40, 4.0), fr(2, 50, 4.0),
+                  fr(3, 50, 0.0)]
+        ref, score = _select_stars_over_hfr(frames)
+        assert ref.id == 2 and score == pytest.approx(12.5)
+        ref, score = _select_stars_over_hfr([fr(0, 0, 3.0)])
+        assert ref.id == 0 and score == 0.0
