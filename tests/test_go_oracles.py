@@ -538,3 +538,160 @@ class TestSelectRefOracle:
         assert ref.id == 2 and score == pytest.approx(12.5)
         ref, score = _select_stars_over_hfr([fr(0, 0, 3.0)])
         assert ref.id == 0 and score == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Oracle 7: automatic color balance building blocks (fits/rgb.go:92-281)
+# ---------------------------------------------------------------------------
+
+
+def go_find_darkest_block_oracle(cube, block, border):
+    """findDarkestBlock (rgb.go:153-219): block grid from
+    (int(dim*border)/block)*block to ((dim-first)/block)*block, per-block
+    channel means, luminance = plain (r+g+b)/3, strict < keeps the FIRST
+    minimal block in row-major scan order."""
+    _, h, w = cube.shape
+    x_first = (int(np.float32(w) * np.float32(border)) // block) * block
+    x_last = ((w - x_first) // block) * block
+    y_first = (int(np.float32(h) * np.float32(border)) // block) * block
+    y_last = ((h - y_first) // block) * block
+    inv = np.float32(1.0) / np.float32(block * block)
+    best, lmin = None, np.float32(np.finfo(np.float32).max)
+    for yb in range(y_first, y_last, block):
+        for xb in range(x_first, x_last, block):
+            means = []
+            for c in range(3):
+                blk = cube[c, yb:yb + block, xb:xb + block]
+                rows = blk.sum(axis=1, dtype=np.float32)
+                means.append(np.float32(rows.sum(dtype=np.float32) * inv))
+            lum = np.float32((means[0] + means[1] + means[2])
+                             / np.float32(3.0))
+            if lum < lmin:
+                best, lmin = means, lum
+    return np.array(best, np.float32)
+
+
+def go_mean_star_intensity_oracle(cube, stars, skip_bright, skip_dim, clip):
+    """meanStarIntensity (rgb.go:223-281): skip the brightest/dimmest star
+    fractions (stars sorted brightest-first), walk the integer window
+    [c-hfrR, c+hfrR] with hfrR = int(0.75*HFR + 0.5), keep pixels inside
+    the (0.75*HFR + 0.01)^2 disk whose r,g,b ALL sit below the clip color,
+    and average. Faithful quirk: zero passing pixels means norm = 1/0 =
+    +Inf and RGB{0*Inf} = NaN (rgb.go:279-280)."""
+    n = len(stars)
+    if n == 0:
+        return (0.0, 0.0, 0.0)
+    s_start = int(np.float32(n) * np.float32(skip_bright))
+    s_end = n - int(np.float32(n) * np.float32(skip_dim))
+    if s_start >= s_end:
+        return (0.0, 0.0, 0.0)
+    _, h, w = cube.shape
+    tot = np.zeros(3, np.float32)
+    tot_px = 0
+    for sx, sy, hfr in stars[s_start:s_end]:
+        hfr = np.float32(hfr) * np.float32(0.75)
+        hfr_r = int(hfr + np.float32(0.5))
+        hfr_sq = np.float32(hfr + np.float32(0.01)) ** 2
+        for off_y in range(-hfr_r, hfr_r + 1):
+            y = sy + off_y
+            if 0 <= y < h:
+                for off_x in range(-hfr_r, hfr_r + 1):
+                    x = sx + off_x
+                    if 0 <= x < w:
+                        if np.float32(off_x ** 2 + off_y ** 2) <= hfr_sq:
+                            r, g, b = cube[0, y, x], cube[1, y, x], cube[2, y, x]
+                            if r < clip[0] and g < clip[1] and b < clip[2]:
+                                tot += (r, g, b)
+                                tot_px += 1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        norm = np.float32(1.0) / np.float32(tot_px)  # Inf when tot_px == 0
+        return tuple(np.float32(t * norm) for t in tot)
+
+
+def go_black_white_correction_oracle(cur_sh, cur_hi, tgt_sh, tgt_hi):
+    """setBlackWhitePoints factor math (rgb.go:125-148): average current
+    shadow/highlight as the new neutral levels, scale by the target tints,
+    then alpha = (newHi-newSh)/(curHi-curSh), beta = newSh - alpha*curSh,
+    all in float32."""
+    cs = np.asarray(cur_sh, np.float32)
+    ch = np.asarray(cur_hi, np.float32)
+    new_shadow = np.float32((cs[0] + cs[1] + cs[2]) / np.float32(3.0))
+    ns = np.asarray(tgt_sh, np.float32) * new_shadow
+    new_highlight = np.float32((ch[0] + ch[1] + ch[2]) / np.float32(3.0))
+    nh = np.asarray(tgt_hi, np.float32) * new_highlight
+    alpha = (nh - ns) / (ch - cs)
+    beta = ns - alpha * cs
+    return alpha, beta
+
+
+class TestColorBalanceOracles:
+    def test_darkest_block_matches_go(self, rng):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.rgb import find_darkest_block
+
+        cube = rng.uniform(0.0, 1.0, size=(3, 48, 64)).astype(np.float32)
+        cube[:, 32:40, 16:24] *= 0.05  # an unambiguous darkest block
+        for block, border in ((8, 0.1), (16, 0.1), (8, 0.0), (8, 0.25)):
+            got = np.asarray(find_darkest_block(jnp.asarray(cube), block,
+                                                border))
+            ref = go_find_darkest_block_oracle(cube, block, border)
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_mean_star_intensity_matches_go(self, rng):
+        from nightlight_tpu.detect.stars import StarList
+        from nightlight_tpu.ops.rgb import mean_star_intensity
+
+        h, w = 40, 56
+        cube = rng.uniform(0.0, 1000.0, size=(3, h, w)).astype(np.float32)
+        n = 9
+        xs = rng.integers(2, w - 3, n)
+        ys = rng.integers(2, h - 3, n)
+        xs[0], ys[0] = 0, 0          # corner star: window clipped
+        hfrs = rng.uniform(1.0, 4.0, n).astype(np.float32)
+        stars = StarList(
+            x=xs.astype(np.float32), y=ys.astype(np.float32),
+            value=np.ones(n, np.float32),
+            mass=np.linspace(900, 100, n).astype(np.float32),
+            hfr=hfrs, count=n)
+        clip = (900.0, 920.0, 940.0)
+        triples = list(zip(xs.tolist(), ys.tolist(), hfrs.tolist()))
+        for skip_b, skip_d in ((0.0, 0.0), (0.2, 0.1)):
+            got = mean_star_intensity(cube, stars, skip_b, skip_d, clip)
+            ref = go_mean_star_intensity_oracle(cube, triples, skip_b,
+                                                skip_d, clip)
+            np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-4)
+
+    def test_all_pixels_clipped_deviates_from_go_nan(self, rng):
+        # Go's norm = 1/0 makes RGB{NaN,NaN,NaN} when every star pixel is
+        # clipped (rgb.go:279-280), which then NaN-poisons the whole image
+        # through setBlackWhitePoints. This repo deliberately returns
+        # (0,0,0) instead — same fixed-during-port policy as the
+        # stackbatches frame-loss bug (PARITY.md).
+        from nightlight_tpu.detect.stars import StarList
+        from nightlight_tpu.ops.rgb import mean_star_intensity
+
+        cube = np.full((3, 16, 16), 500.0, np.float32)
+        stars = StarList(x=np.array([8.0], np.float32),
+                         y=np.array([8.0], np.float32),
+                         value=np.ones(1, np.float32),
+                         mass=np.array([100.0], np.float32),
+                         hfr=np.array([2.0], np.float32), count=1)
+        clip = (1.0, 1.0, 1.0)  # everything is "clipped"
+        ref = go_mean_star_intensity_oracle(cube, [(8, 8, 2.0)], 0.0, 0.0,
+                                            clip)
+        assert all(np.isnan(v) for v in ref)  # the reference quirk
+        got = mean_star_intensity(cube, stars, 0.0, 0.0, clip)
+        assert got == (0.0, 0.0, 0.0)  # our documented deviation
+
+    def test_black_white_correction_matches_go(self, rng):
+        from nightlight_tpu.ops.rgb import RGB, black_white_correction
+
+        cs = rng.uniform(0.01, 0.1, 3).astype(np.float32)
+        ch = rng.uniform(0.5, 0.9, 3).astype(np.float32)
+        alpha, beta = black_white_correction(
+            tuple(cs), tuple(ch), RGB(1.0, 1.0, 1.0), RGB(1.0, 1.0, 1.0))
+        oalpha, obeta = go_black_white_correction_oracle(
+            cs, ch, (1.0, 1.0, 1.0), (1.0, 1.0, 1.0))
+        np.testing.assert_allclose(alpha, oalpha, rtol=1e-6)
+        np.testing.assert_allclose(beta, obeta, rtol=1e-6, atol=1e-7)
