@@ -695,3 +695,115 @@ class TestColorBalanceOracles:
             cs, ch, (1.0, 1.0, 1.0), (1.0, 1.0, 1.0))
         np.testing.assert_allclose(alpha, oalpha, rtol=1e-6)
         np.testing.assert_allclose(beta, obeta, rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Oracle 8: the WEIGHTED stacking clip loops (stack.go:442-531, 710-800)
+# ---------------------------------------------------------------------------
+
+
+def go_stack_clip_weighted_oracle(frames, weights, ref_frame_loc, sigma_low,
+                                  sigma_high, winsorize):
+    """StackSigmaWeighted / StackWinsorSigmaWeighted: the clip loop is the
+    UNWEIGHTED one (median + unweighted std decide the bounds), but the
+    result differs from the unweighted variants in WHEN the mean is taken:
+    the weighted mean sum(w*g)/sum(w) runs over the survivors AFTER the
+    terminating round's removal (stack.go:514-522), where the unweighted
+    loop writes the mean from BEFORE it (stack.go:425-429)."""
+    n, p = frames.shape
+    res = np.empty(p, np.float32)
+    clip_lo = clip_hi = 0
+    sigma_low = np.float32(sigma_low)
+    sigma_high = np.float32(sigma_high)
+    weights = np.asarray(weights, np.float32)
+    for i in range(p):
+        g = frames[:, i]
+        keep_mask = ~np.isnan(g)
+        g = g[keep_mask].astype(np.float32)
+        w = weights[keep_mask]
+        if g.size == 0:
+            res[i] = ref_frame_loc
+            continue
+        while True:
+            median = go_median(g)
+            _, std = go_mean_stddev(g)
+            if winsorize:
+                wz = g.copy()
+                while True:
+                    lo_b, hi_b = median - 1.5 * std, median + 1.5 * std
+                    changed = int(np.sum((wz < lo_b) | (wz > hi_b)))
+                    wz = np.clip(wz, lo_b, hi_b)
+                    old = std
+                    _, std = go_mean_stddev(wz)
+                    std *= np.float32(1.134)
+                    if changed == 0 or abs(std - old) / old <= 0.0005:
+                        break
+            lo_b = median - sigma_low * std
+            hi_b = median + sigma_high * std
+            survivors = (g >= lo_b) & (g <= hi_b)
+            nl = int(np.sum(g < lo_b))
+            nh = int(np.sum(g > hi_b))
+            clip_lo += nl
+            clip_hi += nh
+            if nl + nh == 0 or np.sum(survivors) <= 1:
+                gs, ws = g[survivors], w[survivors]
+                with np.errstate(invalid="ignore"):
+                    res[i] = np.float32(np.sum(gs * ws, dtype=np.float32)
+                                        / np.sum(ws, dtype=np.float32))
+                break
+            g, w = g[survivors], w[survivors]
+    return res, clip_lo, clip_hi
+
+
+class TestWeightedStackClipOracles:
+    REF_LOC = 1234.5
+
+    def _check(self, frames, mode_fn, winsorize, sig=(2.0, 2.0)):
+        import jax.numpy as jnp
+
+        n = frames.shape[0]
+        rngw = np.random.default_rng(7)
+        weights = rngw.uniform(0.2, 1.0, n).astype(np.float32)
+        out, cl, ch = mode_fn(jnp.asarray(frames), jnp.asarray(weights),
+                              jnp.float32(self.REF_LOC),
+                              jnp.float32(sig[0]), jnp.float32(sig[1]))
+        ref, rcl, rch = go_stack_clip_weighted_oracle(
+            frames, weights, self.REF_LOC, sig[0], sig[1], winsorize)
+        assert int(cl) == rcl and int(ch) == rch
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-2)
+
+    def test_sigma_weighted_matches_go_loop(self, clip_frames):
+        from nightlight_tpu.ops.stack import stack_sigma_weighted
+
+        self._check(clip_frames, stack_sigma_weighted, winsorize=False)
+
+    def test_sigma_weighted_asymmetric(self, clip_frames):
+        from nightlight_tpu.ops.stack import stack_sigma_weighted
+
+        self._check(clip_frames, stack_sigma_weighted, winsorize=False,
+                    sig=(1.5, 3.0))
+
+    def test_winsor_weighted_matches_go_loop(self, clip_frames):
+        from nightlight_tpu.ops.stack import stack_winsor_sigma_weighted
+
+        self._check(clip_frames, stack_winsor_sigma_weighted, winsorize=True)
+
+    def test_get_weights_inverse_noise_formula(self):
+        # w = 1/(1 + 4*(n-min)/(max-min)) (stack.go:241-253); the all-equal
+        # range is a documented deviation: Go divides 0/0 into NaN weights,
+        # this repo returns 1.0 for every frame
+        from types import SimpleNamespace
+
+        from nightlight_tpu.ops.stack import StackWeighting, get_weights
+
+        def fr(noise):
+            return SimpleNamespace(id=0, exposure=1.0, hfr=1.0,
+                                   stats=SimpleNamespace(noise=noise))
+
+        w = np.asarray(get_weights([fr(2.0), fr(4.0), fr(3.0)],
+                                   StackWeighting.InverseNoise))
+        np.testing.assert_allclose(
+            w, [1.0, 1.0 / 5.0, 1.0 / 3.0], rtol=1e-6)
+        w = np.asarray(get_weights([fr(2.0), fr(2.0)],
+                                   StackWeighting.InverseNoise))
+        np.testing.assert_allclose(w, [1.0, 1.0])
