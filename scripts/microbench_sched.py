@@ -56,16 +56,28 @@ print(f"RESULT {os.environ.get('NIGHTLIGHT_PALLAS_SCHED','default') or 'default'
 
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    variants = sys.argv[1:] or list(VARIANTS)
     results = {}
-    for variant in VARIANTS:
+    for variant in variants:
+        variant = "" if variant == "default" else variant
         env = dict(os.environ)
         if variant:
             env["NIGHTLIGHT_PALLAS_SCHED"] = variant
         else:
             env.pop("NIGHTLIGHT_PALLAS_SCHED", None)
-        out = subprocess.run([sys.executable, "-c", _CHILD % {"repo": repo}],
-                             env=env, capture_output=True, text=True,
-                             timeout=1200)
+        try:
+            out = subprocess.run([sys.executable, "-c",
+                                  _CHILD % {"repo": repo}],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=1200)
+        except subprocess.TimeoutExpired:
+            # a variant whose remote compile exceeds 20 min is itself a
+            # result (the 'arbitrary' grid semantics did this) — record it
+            # and keep sweeping the rest
+            print(f"RESULT {variant or 'default'} TIMEOUT(>1200s compile)",
+                  flush=True)
+            results[variant or "default"] = "timeout"
+            continue
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT")]
         print(line[0] if line else f"{variant or 'default'}: FAILED\n{out.stderr[-800:]}",
               flush=True)
