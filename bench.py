@@ -98,18 +98,20 @@ _BAND_CACHE: dict = {}
 _BAND_TS: float = float("-inf")
 
 
-def measure_band(ttl: float = 180.0, budget_sec: float = 60.0) -> dict:
+def measure_band(ttl: float = 60.0, budget_sec: float = 60.0) -> dict:
     """Time-bounded H2D/D2H bandwidth probe through the live tunnel.
 
-    H2D: 4x16MB u16 arrays dispatched back-to-back (the pipeline's upload
-    pattern; back-to-back beats sync-each ~1.5x, scripts/microbench_h2d.py),
-    clocked at a scalar fetch depending on every chunk. D2H through the
-    chunked save-path helper (utils/transfer.fetch_array). Best of 2 passes
-    each — but in a DEAD band (sub-MB/s hours happen, BASELINE.md) a full
-    probe would cost many minutes, so each stage stops once `budget_sec`
-    is spent and the D2H payload shrinks 8x when the measured H2D band is
-    bad. Results are cached for `ttl` seconds (pass ttl=0 to force a fresh
-    probe). Returns {} off-TPU (CPU test environments)."""
+    H2D: one 16MB synced chunk first — big enough that the backend cannot
+    absorb it into its dispatch buffer (smaller payloads report memcpy
+    speed, CLAUDE.md round-5 gotcha), small enough that even a sub-MB/s
+    DEAD band answers in bounded time. If that chunk alone reveals a dead
+    band (or exhausts half the budget) its rate is the answer; otherwise
+    3 more chunks go back-to-back (the pipeline's upload pattern,
+    scripts/microbench_h2d.py) for a 64MB best-of-2 measurement. D2H goes
+    through the chunked save-path helper (utils/transfer.fetch_array) with
+    a payload that shrinks 8x in bad bands. Results are cached for `ttl`
+    seconds (pass ttl=0 to force a fresh probe) so each phase line's band
+    stamp is at most `ttl` old. Returns {} off-TPU (CPU test envs)."""
     global _BAND_CACHE, _BAND_TS
     if _BAND_CACHE and (time.perf_counter() - _BAND_TS) < ttl:
         return dict(_BAND_CACHE)
@@ -126,18 +128,22 @@ def measure_band(ttl: float = 180.0, budget_sec: float = 60.0) -> dict:
     parts = [rng.integers(0, 65535, size=(8 << 20,), dtype=np.uint16)
              for _ in range(4)]
     t_probe = time.perf_counter()
-    h2d = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        chunks = [jnp.asarray(p) for p in parts]
-        acc = chunks[0][0].astype(jnp.float32)
-        for c in chunks[1:]:
-            acc = acc + c[0].astype(jnp.float32)
-        float(np.asarray(acc))
-        h2d = max(h2d, 64.0 / (time.perf_counter() - t0))
-        del chunks
-        if time.perf_counter() - t_probe > budget_sec / 2:
-            break
+    c0 = jnp.asarray(parts[0])
+    float(np.asarray(c0[0].astype(jnp.float32)))
+    dt0 = time.perf_counter() - t_probe
+    h2d = 16.0 / dt0
+    if h2d >= 2.0 and dt0 < budget_sec / 2:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            chunks = [jnp.asarray(p) for p in parts]
+            acc = chunks[0][0].astype(jnp.float32)
+            for c in chunks[1:]:
+                acc = acc + c[0].astype(jnp.float32)
+            float(np.asarray(acc))
+            h2d = max(h2d, 64.0 / (time.perf_counter() - t0))
+            del chunks
+            if time.perf_counter() - t_probe > budget_sec / 2:
+                break
     from nightlight_tpu.utils.transfer import fetch_array
 
     rows = 2048 if h2d >= 5.0 else 256  # 32 MB probe, or 4 MB in a bad band
@@ -174,7 +180,9 @@ def _est_phase_sec(wire_mb: float, band: dict, passes: int,
     (~45% wire saved at the gate's 120 MB/s threshold, BASELINE.md)."""
     mbps = band.get("h2d_mbps")
     mbps = 30.0 if mbps is None else max(0.5, float(mbps))
-    if packable and mbps < 120.0:
+    if packable and mbps < 120.0 \
+            and not os.environ.get("NIGHTLIGHT_NO_PACK") \
+            and not os.environ.get("NIGHTLIGHT_NO_BULK"):
         wire_mb *= 0.55
     return passes * (wire_mb / mbps) + overhead
 
@@ -518,19 +526,24 @@ def main() -> None:
     else:
         bench_northstar()
 
-    # Phases 3-6, each gated on the remaining budget at the band measured
-    # at phase start (re-probed inside each phase for the emitted line).
+    # Phases 3-6, each gated on the remaining budget at a FRESH band (the
+    # north-star phase can leave band0 20+ minutes stale, and the tunnel
+    # swings 30x between hours — a dead band at t=0 must not stick to
+    # phases running in a recovered hour). The cached probe keeps the
+    # refresh cheap when phases run back-to-back.
     for key, fn, wire_mb, overhead, packable in (
             ("e2e", bench_e2e, 436.0, 90.0, True),
             ("bayer", bench_bayer, 436.0, 90.0, True),
             ("rgb", bench_rgb, 128.0, 60.0, False),
             ("narrowband", bench_narrowband, 96.0, 60.0, False),
     ):
-        est = _est_phase_sec(wire_mb, band0, passes=1, overhead=overhead,
+        band = measure_band()
+        est = _est_phase_sec(wire_mb, band, passes=1, overhead=overhead,
                              packable=packable)
         if _remaining() < est:
             _skip(key, f"estimated {est:.0f}s exceeds remaining "
-                       f"{_remaining():.0f}s")
+                       f"{_remaining():.0f}s at "
+                       f"{band.get('h2d_mbps', '?')} MB/s H2D")
             continue
         fn()
 

@@ -60,6 +60,11 @@ def main():
     results = {}
     for variant in variants:
         variant = "" if variant == "default" else variant
+        if variant not in VARIANTS:
+            # _sched_params substring-matches, so a typo would silently
+            # benchmark the default schedule under the typo'd name
+            raise SystemExit(f"unknown variant {variant!r}; "
+                             f"choose from {('default',) + VARIANTS[1:]}")
         env = dict(os.environ)
         if variant:
             env["NIGHTLIGHT_PALLAS_SCHED"] = variant
