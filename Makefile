@@ -39,6 +39,7 @@ parity-big:
 # build the native C FITS codec explicitly (also built lazily on first use)
 native:
 	$(PY) -c "from nightlight_tpu.native import fitsio; print('native codec:', 'ok' if fitsio._load() else 'unavailable (numpy fallback)')"
+	$(PY) -c "from nightlight_tpu.native import packio; print('native pack:', 'ok' if packio._load() else 'unavailable (numpy fallback)')"
 
 # multi-chip dry run on an 8-device virtual CPU mesh
 dryrun:

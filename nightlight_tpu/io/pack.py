@@ -34,6 +34,7 @@ int32 data must travel as real integer arrays on this backend
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -81,19 +82,26 @@ def _zigzag16(s: np.ndarray) -> np.ndarray:
     return (((s << 1) ^ (s >> 15))).view(np.uint16)
 
 
-def _overflow_bits(mag: np.ndarray, widths):
-    """(k, exception_count, projected bits/pixel) for the best width, or
-    None when raw u16 wins. `mag` is the unsigned code array."""
+def _best_width(exc_by_k: dict, n: int, widths):
+    """(k, exception_count, projected bits/pixel) for the best width given
+    per-width exception counts, or None when raw u16 wins. Shared by the
+    numpy and native scan paths so the width decision is identical."""
     best = None
-    n = mag.size
     for k in widths:
-        exc = int(np.count_nonzero(mag >= (1 << k)))
+        exc = exc_by_k[k]
         bits = k + exc * _EXC_BYTES * 8.0 / n
         if best is None or bits < best[2]:
             best = (k, exc, bits)
     if best is None or best[2] > 16.0 * (1.0 - _MIN_SAVING):
         return None
     return best
+
+
+def _overflow_bits(mag: np.ndarray, widths):
+    """Numpy candidate scan: per-width exception counts fed to
+    _best_width. `mag` is the unsigned code array."""
+    counts = {k: int(np.count_nonzero(mag >= (1 << k))) for k in widths}
+    return _best_width(counts, mag.size, widths)
 
 
 def _pack_planes(u: np.ndarray, k: int) -> np.ndarray:
@@ -165,29 +173,71 @@ def pack_group(u: np.ndarray, height: int,
     widths = tuple(k for k in _WIDTHS
                    if k == 8 or (k == 12 and p % 2 == 0)
                    or (k == 14 and p % 4 == 0))
-    # identity candidate: the codes themselves
-    cand_id = _overflow_bits(u[:valid], widths)
-    choice = ("id", cand_id) if cand_id is not None else None
+
+    # Native fused scan (native/_packio.c): ONE pass over the valid rows
+    # yields all six candidate counts; the numpy path needs 6+ full-array
+    # passes and measured 70-150 MB/s on the 1-core host vs ~GB/s native
+    # (BASELINE.md round-5). The width DECISION is shared (_best_width), so
+    # both paths pick identical (transform, k).
+    native_counts = None
+    if not os.environ.get("NIGHTLIGHT_NO_NATIVE_PACK"):
+        from nightlight_tpu.native import packio
+
+        native_counts = packio.scan(u, valid, w)
+
     zz = None
-    # delta candidate: u16-wraparound row-delta, zigzag coded (all-u16
-    # host math — ~3x cheaper than int32 at 16MP); row heads carry the
-    # absolute value (their zigzag is ~2*u, usually an exception at k=8 —
-    # H exceptions/frame is noise next to the byte savings). Skipped when
-    # identity already packs near the 8-bit floor: the delta transform is
-    # ~half the host pack cost on the 1-core host and cannot beat a
-    # <=9-bit identity by enough to pay for itself (ADVICE r4).
-    if choice is None or cand_id[2] > 9.0:
-        rows = u.reshape(g, height, w)
-        d = np.empty_like(rows)
-        d[:, :, 0] = rows[:, :, 0]
-        np.subtract(rows[:, :, 1:], rows[:, :, :-1], out=d[:, :, 1:])
-        zz = _zigzag16(d.view(np.int16)).reshape(g, p)
-        cand_dl = _overflow_bits(zz[:valid], widths)
-        if cand_dl is not None and (choice is None or cand_dl[2] < choice[1][2]):
-            choice = ("delta", cand_dl)
+    n = valid * p
+    if native_counts is not None:
+        counts_id, counts_dl = native_counts
+        cand_id = _best_width(counts_id, n, widths)
+        choice = ("id", cand_id) if cand_id is not None else None
+        # delta skip rule identical to the numpy path (ADVICE r4): a
+        # <=9-bit identity never cedes to delta
+        if choice is None or cand_id[2] > 9.0:
+            cand_dl = _best_width(counts_dl, n, widths)
+            if cand_dl is not None and (choice is None
+                                        or cand_dl[2] < choice[1][2]):
+                choice = ("delta", cand_dl)
+    else:
+        # identity candidate: the codes themselves
+        cand_id = _overflow_bits(u[:valid], widths)
+        choice = ("id", cand_id) if cand_id is not None else None
+        # delta candidate: u16-wraparound row-delta, zigzag coded (all-u16
+        # host math — ~3x cheaper than int32 at 16MP); row heads carry the
+        # absolute value (their zigzag is ~2*u, usually an exception at
+        # k=8 — H exceptions/frame is noise next to the byte savings).
+        # Skipped when identity already packs near the 8-bit floor: the
+        # delta transform is ~half the host pack cost on the 1-core host
+        # and cannot beat a <=9-bit identity by enough to pay for itself
+        # (ADVICE r4).
+        if choice is None or cand_id[2] > 9.0:
+            zz = _delta_zigzag(u, height)
+            cand_dl = _overflow_bits(zz[:valid], widths)
+            if cand_dl is not None and (choice is None
+                                        or cand_dl[2] < choice[1][2]):
+                choice = ("delta", cand_dl)
     if choice is None:
         return None
-    kind, (k, _exc, _bits) = choice
+    kind, (k, exc_est, _bits) = choice
+
+    if native_counts is not None:
+        from nightlight_tpu.native import packio
+
+        # cap covers the scan's valid-row count; padding rows are all-zero
+        # codes (offset-binary zero XOR-folds to 0) so they add no
+        # exceptions — if a caller padded otherwise, emit returns None and
+        # the numpy path below takes over
+        emitted = packio.emit(u, w, kind, k, exc_cap=exc_est + 16)
+        if emitted is not None:
+            buf, idx, val = emitted
+            pg = PackedGroup(kind, k, buf.view("<u2"),
+                             _exception_table(u, kind, idx, val))
+            if pg.wire_bytes > g * p * 2 * (1.0 - _MIN_SAVING):
+                return None
+            return pg
+
+    if kind == "delta" and zz is None:
+        zz = _delta_zigzag(u, height)
     mag = u if kind == "id" else zz
     pg = PackedGroup(kind, k, _pack_planes(mag, k), _exceptions(mag, k))
     # The projection above estimates exception bytes UNPADDED; the real
@@ -197,6 +247,37 @@ def pack_group(u: np.ndarray, height: int,
     if pg.wire_bytes > g * p * 2 * (1.0 - _MIN_SAVING):
         return None
     return pg
+
+
+def _delta_zigzag(u: np.ndarray, height: int) -> np.ndarray:
+    """Numpy row-delta + zigzag codes for a (G, pixels) group."""
+    g, p = u.shape
+    w = p // height
+    rows = u.reshape(g, height, w)
+    d = np.empty_like(rows)
+    d[:, :, 0] = rows[:, :, 0]
+    np.subtract(rows[:, :, 1:], rows[:, :, :-1], out=d[:, :, 1:])
+    return _zigzag16(d.view(np.int16)).reshape(g, p)
+
+
+def _exception_table(u: np.ndarray, kind: str, idx: np.ndarray,
+                     val: np.ndarray) -> np.ndarray:
+    """Bucket/pad an emitted exception list to _exceptions' exact layout
+    (power-of-two width, edge-repetition padding, code-of-first-element
+    placeholder when empty)."""
+    if idx.size == 0:
+        v0 = int(u.reshape(-1)[0])
+        if kind == "delta":  # the head's code is its absolute zigzag
+            s = v0 - 65536 if v0 >= 32768 else v0
+            v0 = ((s << 1) ^ (s >> 15)) & 0xFFFF
+        idx = np.zeros(1, np.int32)
+        val = np.array([v0], np.int32)
+    width = _bucket(idx.size)
+    pad = width - idx.size
+    if pad:
+        idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        val = np.concatenate([val, np.repeat(val[-1:], pad)])
+    return np.stack([idx, val])
 
 
 # -- device side -----------------------------------------------------------

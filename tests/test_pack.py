@@ -198,7 +198,11 @@ class TestPackGuards:
 
     def test_delta_skipped_when_identity_near_floor(self, monkeypatch):
         # identity packs at k=8 (bits ~8 <= 9): the delta transform (the
-        # expensive half of the host pack cost) must not run at all
+        # expensive half of the host pack cost) must not run at all.
+        # Asserts NUMPY-path internals (the native path fuses zigzag into
+        # C where it costs ~nothing and is skip-ruled identically —
+        # decision parity is pinned by test_native_matches_numpy).
+        monkeypatch.setenv("NIGHTLIGHT_NO_NATIVE_PACK", "1")
         import nightlight_tpu.io.pack as pack_mod
 
         calls = []
@@ -246,3 +250,63 @@ class TestPackGuards:
         assert up._h2d_mbps == 32.0
         up._note_upload(32 << 20, 0.5)  # EMA folds in the new reading
         assert up._h2d_mbps == 48.0
+
+
+class TestNativePackPath:
+    """The C fast path (native/_packio.c) must be byte-identical to the
+    numpy packer — same (transform, width) decision, same plane bytes,
+    same exception table — across kinds, widths, odd shapes, and padded
+    groups."""
+
+    def _pair(self, u, height, valid=None, monkeypatch=None):
+        from nightlight_tpu.native import packio
+
+        if packio._load() is None:
+            pytest.skip("native pack codec unavailable")
+        pg_n = pack_group(u.copy(), height, valid=valid)
+        monkeypatch.setenv("NIGHTLIGHT_NO_NATIVE_PACK", "1")
+        pg_p = pack_group(u.copy(), height, valid=valid)
+        monkeypatch.delenv("NIGHTLIGHT_NO_NATIVE_PACK")
+        return pg_n, pg_p
+
+    @pytest.mark.parametrize("shape,twelve_bit", [
+        ((3, 64, 96), True),    # delta k=8
+        ((2, 33, 40), True),    # odd height
+        ((4, 16, 16), False),   # high-offset data
+        ((1, 8, 12), True),     # small: identity k=12
+    ])
+    def test_native_matches_numpy(self, shape, twelve_bit, monkeypatch, rng):
+        g, h, w = shape
+        base = (rng.normal(800.0 if twelve_bit else 40000.0, 6.0,
+                           size=(g, h, w))
+                + np.linspace(0, 300, w)[None, None, :])
+        u = np.clip(base, 0, 65535).astype(np.uint16)
+        u[rng.uniform(size=(g, h, w)) < 1e-3] = 65000
+        u = u.reshape(g, h * w)
+        pg_n, pg_p = self._pair(u, h, monkeypatch=monkeypatch)
+        assert (pg_n is None) == (pg_p is None)
+        if pg_n is not None:
+            assert pg_n.kind == pg_p.kind and pg_n.k == pg_p.k
+            np.testing.assert_array_equal(np.asarray(pg_n.words),
+                                          np.asarray(pg_p.words))
+            np.testing.assert_array_equal(np.asarray(pg_n.exc),
+                                          np.asarray(pg_p.exc))
+
+    def test_native_matches_numpy_padded_group(self, monkeypatch, rng):
+        g, h, w = 4, 32, 48
+        u = (rng.normal(800.0, 6.0, size=(g, h, w))
+             .clip(0, 65535).astype(np.uint16)).reshape(g, h * w)
+        u[2:] = 0  # zero padding rows, as BulkUploader._try_pack produces
+        pg_n, pg_p = self._pair(u, h, valid=2, monkeypatch=monkeypatch)
+        assert (pg_n is None) == (pg_p is None)
+        if pg_n is not None:
+            assert pg_n.kind == pg_p.kind and pg_n.k == pg_p.k
+            np.testing.assert_array_equal(np.asarray(pg_n.words),
+                                          np.asarray(pg_p.words))
+            np.testing.assert_array_equal(np.asarray(pg_n.exc),
+                                          np.asarray(pg_p.exc))
+
+    def test_incompressible_none_on_both_paths(self, monkeypatch, rng):
+        u = rng.integers(0, 65536, (2, 64 * 64), dtype=np.uint16)
+        pg_n, pg_p = self._pair(u, 64, monkeypatch=monkeypatch)
+        assert pg_n is None and pg_p is None
