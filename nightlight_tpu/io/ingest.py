@@ -253,18 +253,25 @@ class BulkUploader:
         if bitpix != 16 or len(shape) != 2 \
                 or os.environ.get("NIGHTLIGHT_NO_PACK"):
             return None
-        # Band gate (ADVICE r4): host-side packing costs ~115 MB/s of CPU
-        # on the 1-core host (measured, io/pack.py), so at high wire rates
-        # the pack time exceeds the wire seconds it saves. The static
-        # break-even estimate (~55 MB/s for a 2x saving) proved too
-        # conservative: the measured 500x1MP interleaved A/B won 1.34-1.40x
-        # end-to-end in a ~70 MB/s band (BASELINE.md round-5) because pack
-        # CPU partially hides behind earlier uploads draining and saved
-        # wire also saves stall exposure. Default gate 120 MB/s. Unmeasured
-        # (first group) packs: bad bands are this tunnel's common case and
-        # one wasted pack is <1 s. NIGHTLIGHT_PACK=1 forces packing.
+        # Band gate (ADVICE r4): host-side packing costs CPU on the 1-core
+        # host, so at high wire rates the pack time exceeds the wire
+        # seconds it saves. The numpy packer runs ~70-230 MB/s; measured
+        # break-even with overlap is above the static estimate (the
+        # 500x1MP interleaved A/B won 1.34-1.40x end-to-end in a ~70 MB/s
+        # band, BASELINE.md round-5) — default gate 120 MB/s. The NATIVE
+        # packer (native/_packio.c, ~570 MB/s measured at 12x16MP) moves
+        # break-even to roughly band ~= pack_rate * saving/(1-saving)
+        # ~ 550 MB/s at the typical 50% saving — gate 500 MB/s when it is
+        # loaded. Unmeasured (first group) packs: bad bands are this
+        # tunnel's common case and one wasted pack is <1 s (native: <0.2s).
+        # NIGHTLIGHT_PACK=1 forces packing; NIGHTLIGHT_PACK_MAX_MBPS
+        # overrides the gate.
         if not os.environ.get("NIGHTLIGHT_PACK"):
-            max_mbps = float(os.environ.get("NIGHTLIGHT_PACK_MAX_MBPS", "120"))
+            from nightlight_tpu.native import packio
+
+            default_gate = "500" if packio._load() is not None else "120"
+            max_mbps = float(os.environ.get("NIGHTLIGHT_PACK_MAX_MBPS",
+                                            default_gate))
             if self._h2d_mbps is not None and self._h2d_mbps > max_mbps:
                 return None
         from nightlight_tpu.io.pack import pack_group
