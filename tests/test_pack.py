@@ -225,7 +225,8 @@ class TestPackGuards:
                                              tmp_path, rng)
         up = BulkUploader(list(enumerate(names)), io.StringIO(),
                           frame_bytes=24 * 32 * 2)
-        up._h2d_mbps = 500.0  # measured band above the 60 MB/s gate
+        # measured band above the gate (120 MB/s numpy / 500 MB/s native)
+        up._h2d_mbps = 900.0
         for name in names:
             got = up.get(name)
             ref = nlfits.read_file(name, log=io.StringIO())
