@@ -173,16 +173,15 @@ def _select_median_loc(lights):
     removeNaNs) and can never win the closest race afterwards (Go's
     `distSq < closestDistSq` is false for NaN) — a single all-NaN frame
     must not poison the median for the whole set."""
-    locs = [f.stats.location for f in lights
-            if f is not None and not np.isnan(f.stats.location)]
+    # float() resolves lazy Deferred stats before the NaN filter
+    by_frame = [(f, float(f.stats.location)) for f in lights if f is not None]
+    locs = [v for _, v in by_frame if not np.isnan(v)]
     if not locs:
         raise ValueError("Unable to select reference frame with median location")
     median_loc = float(np.median(np.array(locs, np.float32)))
     best, best_d = None, float("inf")
-    for f in lights:
-        if f is None:
-            continue
-        d = (f.stats.location - median_loc) ** 2
+    for f, v in by_frame:
+        d = (v - median_loc) ** 2
         if d < best_d:  # NaN distance never wins, as in Go
             best, best_d = f, d
     return best, median_loc
