@@ -266,13 +266,18 @@ class BulkUploader:
         # tunnel's common case and one wasted pack is <1 s (native: <0.2s).
         # NIGHTLIGHT_PACK=1 forces packing; NIGHTLIGHT_PACK_MAX_MBPS
         # overrides the gate.
-        if not os.environ.get("NIGHTLIGHT_PACK"):
-            from nightlight_tpu.native import packio
+        if not os.environ.get("NIGHTLIGHT_PACK") \
+                and self._h2d_mbps is not None:
+            env_gate = os.environ.get("NIGHTLIGHT_PACK_MAX_MBPS")
+            if env_gate is not None:
+                max_mbps = float(env_gate)
+            else:
+                # only probe (and possibly first-compile) the native codec
+                # when its presence actually decides the gate
+                from nightlight_tpu.native import packio
 
-            default_gate = "500" if packio._load() is not None else "120"
-            max_mbps = float(os.environ.get("NIGHTLIGHT_PACK_MAX_MBPS",
-                                            default_gate))
-            if self._h2d_mbps is not None and self._h2d_mbps > max_mbps:
+                max_mbps = 500.0 if packio._load() is not None else 120.0
+            if self._h2d_mbps > max_mbps:
                 return None
         from nightlight_tpu.io.pack import pack_group
 

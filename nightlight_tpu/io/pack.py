@@ -134,22 +134,29 @@ def _bucket(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-def _exceptions(mag: np.ndarray, k: int) -> np.ndarray:
-    """(2, E) int32 (flat index, full code) for codes overflowing k bits,
-    padded by edge-repetition to a power-of-two E (duplicate scatters
-    write the same value, so padding is idempotent)."""
-    flat_mag = mag.reshape(-1)
-    idx = np.flatnonzero(flat_mag >= (1 << k)).astype(np.int32)
-    val = flat_mag[idx].astype(np.int32)
+def _bucket_pad(idx: np.ndarray, val: np.ndarray,
+                empty_val: int) -> np.ndarray:
+    """Shared exception-table tail (numpy and native emit paths): an empty
+    list becomes a single (0, code-of-first-element) placeholder, then the
+    table pads by edge-repetition to a power-of-two width (duplicate
+    scatters write the same value, so padding is idempotent)."""
     if idx.size == 0:
         idx = np.zeros(1, np.int32)
-        val = flat_mag[:1].astype(np.int32)
+        val = np.array([empty_val], np.int32)
     width = _bucket(idx.size)
     pad = width - idx.size
     if pad:
         idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
         val = np.concatenate([val, np.repeat(val[-1:], pad)])
     return np.stack([idx, val])
+
+
+def _exceptions(mag: np.ndarray, k: int) -> np.ndarray:
+    """(2, E) int32 (flat index, full code) for codes overflowing k bits."""
+    flat_mag = mag.reshape(-1)
+    idx = np.flatnonzero(flat_mag >= (1 << k)).astype(np.int32)
+    val = flat_mag[idx].astype(np.int32)
+    return _bucket_pad(idx, val, int(flat_mag[0]))
 
 
 def pack_group(u: np.ndarray, height: int,
@@ -262,22 +269,14 @@ def _delta_zigzag(u: np.ndarray, height: int) -> np.ndarray:
 
 def _exception_table(u: np.ndarray, kind: str, idx: np.ndarray,
                      val: np.ndarray) -> np.ndarray:
-    """Bucket/pad an emitted exception list to _exceptions' exact layout
-    (power-of-two width, edge-repetition padding, code-of-first-element
-    placeholder when empty)."""
-    if idx.size == 0:
-        v0 = int(u.reshape(-1)[0])
-        if kind == "delta":  # the head's code is its absolute zigzag
-            s = v0 - 65536 if v0 >= 32768 else v0
-            v0 = ((s << 1) ^ (s >> 15)) & 0xFFFF
-        idx = np.zeros(1, np.int32)
-        val = np.array([v0], np.int32)
-    width = _bucket(idx.size)
-    pad = width - idx.size
-    if pad:
-        idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-        val = np.concatenate([val, np.repeat(val[-1:], pad)])
-    return np.stack([idx, val])
+    """Bucket/pad a native-emitted exception list to _exceptions' exact
+    layout. The empty-table placeholder carries the first element's CODE:
+    under delta that is the head's absolute zigzag."""
+    v0 = int(u.reshape(-1)[0])
+    if kind == "delta":
+        s = v0 - 65536 if v0 >= 32768 else v0
+        v0 = ((s << 1) ^ (s >> 15)) & 0xFFFF
+    return _bucket_pad(idx, val, v0)
 
 
 # -- device side -----------------------------------------------------------

@@ -39,12 +39,21 @@ def _build() -> str | None:
         return _SO
     for cc in ("cc", "gcc", "clang"):
         try:
+            # temp name + atomic rename: an interrupted compile must not
+            # cache a truncated .so (same pattern as native/packio.py)
+            tmp = f"{_SO}.tmp{os.getpid()}"
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-fopenmp", "-o", _SO, _SRC, "-lm"],
+                [cc, "-O3", "-shared", "-fPIC", "-fopenmp", "-o", tmp, _SRC, "-lm"],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, _SO)
             return _SO
-        except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                subprocess.TimeoutExpired, OSError):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             continue
     return None
 

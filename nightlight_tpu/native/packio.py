@@ -25,31 +25,54 @@ _tried = False
 
 
 def _so_path() -> str:
+    # Keyed on source hash AND the host CPU: the binary is built with
+    # -march=native, and while it is never committed (.gitignore), a
+    # working tree copied between machines (rsync, docker build, NFS)
+    # would otherwise load a foreign-arch .so and SIGILL uncatchably —
+    # the same hazard class as the XLA:CPU AOT cache (CLAUDE.md).
     import hashlib
+    import platform
 
+    h = hashlib.sha256()
     with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:12]
-    return os.path.join(_HERE, f"_packio-{digest}.so")
+        h.update(f.read())
+    h.update(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h.update(line.encode())
+                    break
+    except OSError:
+        pass
+    return os.path.join(_HERE, f"_packio-{h.hexdigest()[:12]}.so")
 
 
 def _build() -> str | None:
     _SO = _so_path()
     if os.path.exists(_SO):
         return _SO
-    # -march=native is safe here because the .so is NEVER committed
-    # (.gitignore) — every host builds its own on first use, so the
-    # XLA:CPU-style foreign-arch SIGILL hazard (CLAUDE.md) cannot occur.
     for flags in (["-O3", "-march=native"], ["-O3"]):
         for cc in ("cc", "gcc", "clang"):
             try:
+                # compile to a temp name + atomic rename: an interrupted
+                # compile must not leave a truncated .so that caches a
+                # permanently-broken native path (and two processes
+                # building concurrently must not corrupt each other)
+                tmp = f"{_SO}.tmp{os.getpid()}"
                 subprocess.run(
                     [cc, *flags, "-shared", "-fPIC", "-fopenmp",
-                     "-o", _SO, _SRC],
+                     "-o", tmp, _SRC],
                     check=True, capture_output=True, timeout=120,
                 )
+                os.replace(tmp, _SO)
                 return _SO
             except (subprocess.CalledProcessError, FileNotFoundError,
-                    subprocess.TimeoutExpired):
+                    subprocess.TimeoutExpired, OSError):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
                 continue
     return None
 
@@ -109,10 +132,11 @@ def emit(u: np.ndarray, width: int, kind: str, k: int, exc_cap: int):
     lib = _load()
     if lib is None:
         return None
+    from nightlight_tpu.io.pack import plane_bytes  # single layout source
+
     u = np.ascontiguousarray(u, np.uint16)
     g, p = u.shape
-    n_low = g * p
-    n_hi = 0 if k == 8 else (g * (p // 2) if k == 12 else g * (3 * p // 4))
+    n_low, n_hi = plane_bytes(g, p, k)
     total = n_low + n_hi
     buf = np.zeros(total + (total & 1), np.uint8)
     cap = max(int(exc_cap), 1)

@@ -173,8 +173,12 @@ def _select_median_loc(lights):
     removeNaNs) and can never win the closest race afterwards (Go's
     `distSq < closestDistSq` is false for NaN) — a single all-NaN frame
     must not poison the median for the whole set."""
-    # float() resolves lazy Deferred stats before the NaN filter
-    by_frame = [(f, float(f.stats.location)) for f in lights if f is not None]
+    # Two phases: touch every frame's location first (dispatch-only for
+    # lazy Deferred stats), THEN convert — the first float() flushes the
+    # whole deferred pool in one batched fetch instead of N round trips
+    # (CLAUDE.md: batch scalar fetches).
+    pending = [(f, f.stats.location) for f in lights if f is not None]
+    by_frame = [(f, float(v)) for f, v in pending]
     locs = [v for _, v in by_frame if not np.isnan(v)]
     if not locs:
         raise ValueError("Unable to select reference frame with median location")
