@@ -180,11 +180,22 @@ def _est_phase_sec(wire_mb: float, band: dict, passes: int,
     (~45% wire saved at the gate's 120 MB/s threshold, BASELINE.md)."""
     mbps = band.get("h2d_mbps")
     mbps = 30.0 if mbps is None else max(0.5, float(mbps))
-    if packable and mbps < 120.0 \
+    if packable and mbps < _pack_gate_mbps() \
             and not os.environ.get("NIGHTLIGHT_NO_PACK") \
             and not os.environ.get("NIGHTLIGHT_NO_BULK"):
         wire_mb *= 0.55
     return passes * (wire_mb / mbps) + overhead
+
+
+def _pack_gate_mbps() -> float:
+    """The ingest pack gate (io/ingest.py): 500 MB/s with the native codec
+    loaded, 120 MB/s numpy-only."""
+    try:
+        from nightlight_tpu.native import packio
+
+        return 500.0 if packio._load() is not None else 120.0
+    except Exception:  # noqa: BLE001 - estimating only
+        return 120.0
 
 
 def _timed_cli(args, passes: int) -> tuple[float, int]:

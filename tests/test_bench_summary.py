@@ -97,15 +97,21 @@ class TestBudget:
         est = bench._est_phase_sec(300.0, {"h2d_mbps": 0.0}, 1, 60.0)
         assert est == 300.0 / 0.5 + 60.0
 
-    def test_est_phase_sec_pack_discount_below_gate(self):
-        # packable phases ship ~55% of the raw wire below the 120 MB/s
-        # pack gate; at/above the gate raw bytes ship unpacked
+    def test_est_phase_sec_pack_discount_below_gate(self, monkeypatch):
+        # packable phases ship ~55% of the raw wire below the pack gate
+        # (mirrors io/ingest.py: 120 MB/s numpy / 500 native); at/above
+        # the gate raw bytes ship unpacked
+        monkeypatch.setattr(bench, "_pack_gate_mbps", lambda: 120.0)
         low = bench._est_phase_sec(1000.0, {"h2d_mbps": 60.0}, 1, 0.0,
                                    packable=True)
         assert low == 1000.0 * 0.55 / 60.0
         high = bench._est_phase_sec(1000.0, {"h2d_mbps": 200.0}, 1, 0.0,
                                     packable=True)
         assert high == 1000.0 / 200.0
+        monkeypatch.setattr(bench, "_pack_gate_mbps", lambda: 500.0)
+        mid = bench._est_phase_sec(1000.0, {"h2d_mbps": 200.0}, 1, 0.0,
+                                   packable=True)
+        assert mid == 1000.0 * 0.55 / 200.0
 
     def test_timing_stamp(self):
         assert bench._timing_stamp(3) == "warm best-of-3"
