@@ -807,3 +807,128 @@ class TestWeightedStackClipOracles:
         w = np.asarray(get_weights([fr(2.0), fr(2.0)],
                                    StackWeighting.InverseNoise))
         np.testing.assert_allclose(w, [1.0, 1.0])
+
+
+# ---------------------------------------------------------------------------
+# Oracle 9: histogram peak loc/scale + Immerkaer noise (stats.go:640-688,
+# noise.go:32-55)
+# ---------------------------------------------------------------------------
+
+
+def go_histogram_scale_loc_oracle(data, vmin, vmax, num_bins):
+    """HistogramScaleLoc (stats.go:640-688): bins by round-half-up mapping,
+    INNER peak (edge bins excluded, first max wins), then rings of
+    adjacent bins accumulate around the peak until 68.27% of the samples
+    are covered; the ring walk is clamped to min(peak, last-peak) and the
+    scale is the half-width of the covered interval in value units. The
+    pre-loop scale (half a bin) survives when the peak bin alone covers
+    one sigma."""
+    vmin = np.float32(vmin)
+    vmax = np.float32(vmax)
+    if vmin == vmax:
+        return float(vmin), 0.0
+    bins = np.zeros(num_bins, np.int64)
+    v2b = np.float32(num_bins - 1) / (vmax - vmin)
+    for d in np.asarray(data, np.float32).reshape(-1):
+        bins[int((d - vmin) * v2b + np.float32(0.5))] += 1
+    peak_bin, peak_count = 0, 0
+    for b in range(1, num_bins - 1):
+        if bins[b] > peak_count:
+            peak_bin, peak_count = b, bins[b]
+    loc = vmin + np.float32(peak_bin) / v2b
+    thr = int(np.float32(data.size) * np.float32(0.6827))
+    limit = min(peak_bin, num_bins - 1 - peak_bin)
+    cum = peak_count
+    scale = np.float32(0.5) / v2b
+    if cum < thr:
+        for i in range(1, limit + 1):
+            cum += bins[peak_bin - i] + bins[peak_bin + i]
+            scale = np.float32(0.5) * np.float32(2 * i + 1) / v2b
+            if cum >= thr:
+                break
+    return float(loc), float(scale)
+
+
+def go_estimate_noise_oracle(img):
+    """estimateNoisePureGo (noise.go:32-55): 3x3 Laplacian-difference
+    responses summed as |conv| over the interior, scaled by
+    sqrt(pi/2) / (6 (w-2)(h-2))."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape
+    wts = np.array([[1, -2, 1], [-2, 4, -2], [1, -2, 1]], np.float32)
+    total = np.float32(0)
+    for y in range(1, h - 1):
+        row = np.float32(0)
+        for x in range(1, w - 1):
+            conv = np.float32((img[y - 1:y + 2, x - 1:x + 2] * wts).sum())
+            row += abs(conv)
+        total += row
+    return float(total * np.float32(np.sqrt(0.5 * np.pi))
+                 / (6 * np.float32(w - 2) * np.float32(h - 2)))
+
+
+class TestHistogramNoiseOracles:
+    def test_histogram_scale_loc_matches_go(self, rng):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import histogram_scale_loc
+
+        data = rng.normal(0.3, 0.02, size=4096).astype(np.float32)
+        data = np.clip(data, 0.0, 1.0)
+        for bins in (64, 256):
+            loc, scale = histogram_scale_loc(
+                jnp.asarray(data), jnp.float32(data.min()),
+                jnp.float32(data.max()), num_bins=bins)
+            oloc, oscale = go_histogram_scale_loc_oracle(
+                data, data.min(), data.max(), bins)
+            assert float(loc) == pytest.approx(oloc, abs=1e-6)
+            assert float(scale) == pytest.approx(oscale, abs=1e-6)
+
+    def test_histogram_peak_near_edge_limits_ring_walk(self, rng):
+        # peak in bin 1: intervalLimit = 1, the one-sigma ring walk stops
+        # at the clamp and the scale reports the covered interval only
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import histogram_scale_loc
+
+        data = np.concatenate([
+            np.full(500, 0.01, np.float32),           # peak near vmin
+            rng.uniform(0.0, 1.0, 1500).astype(np.float32),
+        ])
+        loc, scale = histogram_scale_loc(
+            jnp.asarray(data), jnp.float32(0.0), jnp.float32(1.0),
+            num_bins=64)
+        oloc, oscale = go_histogram_scale_loc_oracle(data, 0.0, 1.0, 64)
+        assert float(loc) == pytest.approx(oloc, abs=1e-6)
+        assert float(scale) == pytest.approx(oscale, abs=1e-6)
+
+    def test_single_bin_mass_keeps_half_bin_scale(self):
+        # the peak bin alone exceeds one sigma -> the pre-loop half-bin
+        # scale survives (stats.go:675 initial value)
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import histogram_scale_loc
+
+        data = np.full(1000, 0.5, np.float32)
+        data[0], data[-1] = 0.0, 1.0  # give the range width
+        loc, scale = histogram_scale_loc(
+            jnp.asarray(data), jnp.float32(0.0), jnp.float32(1.0),
+            num_bins=64)
+        oloc, oscale = go_histogram_scale_loc_oracle(data, 0.0, 1.0, 64)
+        assert float(loc) == pytest.approx(oloc, abs=1e-6)
+        assert float(scale) == pytest.approx(oscale, abs=1e-6)
+
+    def test_estimate_noise_matches_go(self, rng):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import estimate_noise
+
+        img = rng.normal(100.0, 3.0, size=(24, 32)).astype(np.float32)
+        got = float(estimate_noise(jnp.asarray(img)))
+        ref = go_estimate_noise_oracle(img)
+        assert got == pytest.approx(ref, rel=1e-4)
+        # a clean gradient image has ~zero Laplacian response
+        grad = np.outer(np.arange(24, dtype=np.float32),
+                        np.ones(32, np.float32))
+        assert float(estimate_noise(jnp.asarray(grad))) == pytest.approx(
+            go_estimate_noise_oracle(grad), abs=1e-6)
