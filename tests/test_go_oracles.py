@@ -13,6 +13,11 @@ Oracles:
 - plain sigma-clip stack           (reference internal/ops/stack/stack.go:372-436)
 - sigma-clipped median + Qn        (reference internal/stats/stats.go:477-499)
 - bilinear debayer incl. edge quirks (reference internal/ops/pre/debayer.go:26-263)
+- iterative auto-stretch decision  (reference internal/ops/stretch/stretch.go:103-159)
+- reference-frame selection        (reference internal/ops/ref/refframe.go:212-258)
+- auto color balance blocks        (reference internal/fits/rgb.go:92-281)
+- WEIGHTED stack clip loops + weights (reference stack.go:231-270, 442-531, 710-800)
+- histogram peak loc/scale + noise (reference stats.go:640-688, noise.go:32-55)
 """
 
 import numpy as np
