@@ -18,6 +18,7 @@ Oracles:
 - auto color balance blocks        (reference internal/fits/rgb.go:92-281)
 - WEIGHTED stack clip loops + weights (reference stack.go:231-270, 442-531, 710-800)
 - histogram peak loc/scale + noise (reference stats.go:640-688, noise.go:32-55)
+- point-op pixel functions         (reference pixelops.go:143-260, 560-660)
 """
 
 import numpy as np
@@ -937,3 +938,83 @@ class TestHistogramNoiseOracles:
                         np.ones(32, np.float32))
         assert float(estimate_noise(jnp.asarray(grad))) == pytest.approx(
             go_estimate_noise_oracle(grad), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Oracle 10: point-op pixel functions (pixelops.go:143-260, 560-660)
+# ---------------------------------------------------------------------------
+
+
+def go_midtones_oracle(data, mid, black):
+    """pfMidtones (pixelops.go:214-229): the raw rational transfer value is
+    clamped to CONSTANTS 0/1 BEFORE the (v-clipLow)*scaler rescale — so
+    out-of-range pixels land at -clipLow*scaler and scaler, not 0 and 1."""
+    mid = np.float32(mid)
+    black = np.float32(black)
+    d = np.asarray(data, np.float32)
+    clip_low = black * (mid - 1) / ((2 * mid - 1) * black - mid)
+    scaler = np.float32(1.0) / (np.float32(1.0) - clip_low)
+    v = d * (mid - 1) / ((2 * mid - 1) * d - mid)
+    v = np.where(v < clip_low, np.float32(0), np.where(v > 1, np.float32(1), v))
+    return (v - clip_low) * scaler
+
+
+def go_partial_gamma_oracle(data, from_, to, g):
+    """pfPartialGamma (pixelops.go:179-191): values strictly inside
+    (from, to) are gamma-boosted on the rescaled interval; everything else
+    passes through untouched."""
+    d = np.asarray(data, np.float32)
+    out = d.copy()
+    inside = (d > np.float32(from_)) & (d < np.float32(to))
+    dd = (d[inside] - np.float32(from_)) / np.float32(to - from_)
+    out[inside] = np.float32(from_) + np.float32(to - from_) * \
+        np.power(np.float64(dd), 1.0 / np.float64(g)).astype(np.float32)
+    return out
+
+
+def go_shift_black_oracle(data, before, after):
+    """ShiftBlackToMove (pixelops.go:649-660)."""
+    before = np.float32(before)
+    after = np.float32(after)
+    black = (after - before) / (after - np.float32(1.0))
+    scale = np.float32(1.0) / (np.float32(1.0) - black)
+    return np.maximum(np.float32(0.0),
+                      (np.asarray(data, np.float32) - black) * scale)
+
+
+class TestPointOpOracles:
+    def test_midtones_matches_go_incl_preclip_quirk(self, rng):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.pixelmath import midtones
+
+        d = rng.uniform(0.0, 1.0, 2048).astype(np.float32)
+        d[:8] = [0.0, 1.0, 0.001, 0.999, 0.25, 0.5, 0.75, 0.1]
+        for mid, black in ((0.25, 0.05), (0.4, 0.0), (0.15, 0.12)):
+            got = np.asarray(midtones(jnp.asarray(d), mid, black))
+            ref = go_midtones_oracle(d, mid, black)
+            np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+    def test_partial_gamma_matches_go(self, rng):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.pixelmath import partial_gamma
+
+        d = rng.uniform(0.0, 1.0, 2048).astype(np.float32)
+        from_, to, g = 0.3, 1.0, 2.2
+        d[:4] = [from_, to, 0.3000001, 0.9999999]  # boundary passthrough
+        got = np.asarray(partial_gamma(jnp.asarray(d), from_, to, g))
+        ref = go_partial_gamma_oracle(d, from_, to, g)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+        # exactly-at-boundary values pass through (strict inequalities)
+        assert got[0] == d[0] and got[1] == d[1]
+
+    def test_shift_black_matches_go(self, rng):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.pixelmath import shift_black_to_move
+
+        d = rng.uniform(0.0, 1.0, 1024).astype(np.float32)
+        got = np.asarray(shift_black_to_move(jnp.asarray(d), 0.2, 0.1))
+        ref = go_shift_black_oracle(d, 0.2, 0.1)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
