@@ -19,6 +19,7 @@ Oracles:
 - WEIGHTED stack clip loops + weights (reference stack.go:231-270, 442-531, 710-800)
 - histogram peak loc/scale + noise (reference stats.go:640-688, noise.go:32-55)
 - point-op pixel functions         (reference pixelops.go:143-260, 560-660)
+- IKSS iterative k-sigma estimator (reference stats.go:501-566)
 """
 
 import numpy as np
@@ -1018,3 +1019,91 @@ class TestPointOpOracles:
         got = np.asarray(shift_black_to_move(jnp.asarray(d), 0.2, 0.1))
         ref = go_shift_black_oracle(d, 0.2, 0.1)
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Oracle 11: IKSS iterative k-sigma estimator (stats.go:501-566)
+# ---------------------------------------------------------------------------
+
+
+def go_ikss_oracle(data, epsilon=1e-6, max_iter=200):
+    """IKSS (stats.go:535-566) with bwmv (stats.go:501-532): sort once,
+    then iterate {window median = xs[(i+j)>>1] (no even-averaging),
+    biweight midvariance about it, converge when s < eps (scale 0) or
+    s0-s < s*eps (scale 0.991*s), else shrink the window to m +/- 4s}.
+    The window median always survives the shrink, so the empty-window
+    return (0,0) is unreachable for n >= 1.
+
+    Faithful hazard (max_iter guards it): when the window is CONSTANT,
+    mad = 0 makes every y NaN/Inf, all weights drop, s = sqrt(n*0/0) =
+    NaN, every convergence comparison is false, and the NaN shrink bounds
+    move nothing — the reference LOOPS FOREVER (stats.go:544-564 has no
+    iteration cap). Production ikss guards the zero denominators and
+    returns scale 0 instead."""
+    xs = np.sort(np.asarray(data, np.float32).reshape(-1))
+    i, j = 0, len(xs)
+    s0 = np.float32(1.0)
+    for _ in range(max_iter):
+        m = xs[(i + j) >> 1]
+        w = xs[i:j]
+        mad = go_median(np.abs(w - m))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ys = (w - m) / np.float32(9.0 * mad)  # NaN/Inf when mad == 0
+        a = (ys > -1) & (ys < 1)
+        one_m_y2 = np.float32(1.0) - ys * ys
+        num = np.sum(a * (w - m) ** 2 * one_m_y2 ** 4, dtype=np.float32)
+        den = np.sum(a * one_m_y2 * (np.float32(1.0) - 5 * ys * ys),
+                     dtype=np.float32)
+        s = np.float32(np.sqrt(np.float32(len(w)) * num / (den * den)))
+        if s < epsilon:
+            return float(m), 0.0
+        if s0 - s < s * np.float32(epsilon):
+            return float(m), float(np.float32(0.991) * s)
+        s0 = s
+        xlow, xhigh = m - 4 * s, m + 4 * s
+        while xs[i] < xlow:
+            i += 1
+        while xs[j - 1] > xhigh:
+            j -= 1
+    return None, None  # did not converge within max_iter (the Go hang)
+
+
+class TestIkssOracle:
+    @pytest.mark.parametrize("n", [2000, 2001])
+    def test_clean_gaussian_matches_go(self, n, rng):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import ikss
+
+        data = rng.normal(100.0, 5.0, size=n).astype(np.float32)
+        loc, scale = ikss(jnp.asarray(data))
+        oloc, oscale = go_ikss_oracle(data)
+        assert float(loc) == pytest.approx(oloc, abs=1e-3)
+        assert float(scale) == pytest.approx(oscale, rel=1e-3)
+
+    def test_contaminated_matches_go(self, rng):
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import ikss
+
+        data = rng.normal(100.0, 5.0, size=3000).astype(np.float32)
+        data[:200] += 400.0  # bright contamination the window shrink rejects
+        loc, scale = ikss(jnp.asarray(data))
+        oloc, oscale = go_ikss_oracle(data)
+        assert float(loc) == pytest.approx(oloc, abs=2e-3)
+        assert float(scale) == pytest.approx(oscale, rel=2e-3)
+        assert abs(oscale - 5.0) < 1.0  # robust to the contamination
+
+    def test_constant_data_is_a_go_hang_we_guard(self):
+        # the reference infinite-loops on a constant window (NaN from
+        # mad=0 defeats every exit, see the oracle docstring); production
+        # guards the zero denominators and returns (value, scale 0)
+        import jax.numpy as jnp
+
+        from nightlight_tpu.ops.stats import ikss
+
+        data = np.full(512, 7.25, np.float32)
+        oloc, oscale = go_ikss_oracle(data, max_iter=50)
+        assert oloc is None  # the faithful loop never converges
+        loc, scale = ikss(jnp.asarray(data))
+        assert float(loc) == 7.25 and float(scale) == 0.0
